@@ -1,0 +1,264 @@
+"""Typed, hashable configuration tree for the environment engine.
+
+Replaces the reference's two-tier YAML -> ROS-param-server config
+(`turtlebot3_rl_sim/launch/*.launch`, `src/configs/*.yaml`, read at
+`start_td3_training.py:56-61`) plus its scattered hardcoded constants
+(0.15 s step `environment_stage_1_nobonus.py:1201`, ego threshold 0.140
+`:1000`, social threshold 0.4 `:1004`, waypoint radius 0.3 `:250`,
+goal box 0.2 `:1285-1301`).
+
+Everything here is a frozen dataclass of static Python values (hashable),
+so an ``EnvConfig`` can be closed over by ``jax.jit`` without retracing.
+
+World geometry comes from the Gazebo worlds
+(`turtlebot3_gazebo/worlds/turtlebot3_crowd_{none,sparse,dense}.world`,
+3x3 m room, walls ``3 0.1 0.3``; test worlds
+`test_environment/turtlebot3_obstacle_{4,8,12,20}.world`, 5x5 m room).
+Crowd behaviors come from the 34 `crowd_behaviors/simulate_*.py` scripts,
+distilled into per-pedestrian direction tables + redraw windows.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Tuple
+
+Vec2 = Tuple[float, float]
+
+
+class CrowdBehavior(enum.IntEnum):
+    """Pedestrian driving pattern families (`crowd_behaviors/simulate_*.py`)."""
+
+    STATIC = 0     # obstacles never move (turtlebot3_crowd_none-style)
+    RANDOM = 1     # fresh uniform velocity each window (simulate_random_*.py,
+                   # simulate_crowd.py)
+    CROSSING = 2   # fixed perpendicular patterns (simulate_crossing_*.py)
+    TOWARDS = 3    # aimed at the robot's side (simulate_towards_*.py)
+    AHEAD = 4      # parallel to robot path (simulate_ahead_*.py)
+
+
+# Fixed unit-direction tables per (family, pedestrian-count), transcribed from
+# the move_model calls of the corresponding scripts (e.g.
+# simulate_crossing_4.py:88-92, simulate_towards_20.py:110-140,
+# simulate_ahead_12.py:104-115). Velocity = direction * speed.
+_DIR_TABLES = {
+    (CrowdBehavior.CROSSING, 4): ((1, 1), (0, 1), (0, -1), (0, -1)),
+    (CrowdBehavior.CROSSING, 8): ((1, 1), (0, 1), (1, 1), (0, 1),
+                                  (0, -1), (0, -1), (0, -1), (-1, -1)),
+    (CrowdBehavior.CROSSING, 12): ((1, 1), (0, 1), (0, 1), (1, 1), (0, 1),
+                                   (-1, 1), (0, -1), (-1, -1), (0, -1),
+                                   (0, -1), (0, -1), (-1, -1)),
+    (CrowdBehavior.CROSSING, 20): ((1, 1), (0, 1), (0, 1), (1, 1), (0, 1),
+                                   (-1, 1), (0, -1), (-1, -1), (0, -1),
+                                   (0, -1), (0, -1), (-1, -1), (0, 1),
+                                   (-1, -1), (-1, -1), (1, 1), (1, 1),
+                                   (1, -1), (1, -1), (0, 1)),
+    (CrowdBehavior.TOWARDS, 4): ((1, 1), (1, 0), (1, -1), (1, -1)),
+    (CrowdBehavior.TOWARDS, 8): ((1, 1), (1, 1), (1, 1), (1, 0),
+                                 (1, -1), (1, -1), (1, -1), (1, -1)),
+    (CrowdBehavior.TOWARDS, 12): ((1, 1), (1, 1), (1, 1), (1, 1), (1, 0),
+                                  (1, 1), (1, -1), (1, -1), (1, -1),
+                                  (1, -1), (1, -1), (1, -1)),
+    (CrowdBehavior.TOWARDS, 20): ((1, 1), (1, 1), (1, 1), (1, 1), (1, 0),
+                                  (1, 1), (1, -1), (1, -1), (1, -1),
+                                  (1, -1), (1, -1), (1, -1), (1, 1),
+                                  (1, -1), (1, -1), (1, 0), (1, 1),
+                                  (1, 0), (1, -1), (1, 1)),
+    (CrowdBehavior.AHEAD, 4): ((0, 1), (-1, 0), (0, -1), (-1, -1)),
+    (CrowdBehavior.AHEAD, 8): ((0, 1), (-1, 1), (0, 1), (-1, 0),
+                               (0, -1), (0, -1), (-1, -1), (-1, -1)),
+    (CrowdBehavior.AHEAD, 12): ((0, 1), (-1, 1), (-1, 1), (0, 1), (-1, 0),
+                                (-1, 0), (0, -1), (-1, 0), (0, -1),
+                                (-1, -1), (-1, -1), (-1, -1)),
+    (CrowdBehavior.AHEAD, 20): ((0, 1), (-1, 1), (-1, 1), (0, 1), (-1, 0),
+                                (-1, 0), (0, -1), (-1, 0), (0, -1),
+                                (-1, -1), (-1, -1), (-1, -1), (-1, 1),
+                                (-1, 0), (-1, 0), (1, 1), (1, 1),
+                                (1, -1), (1, -1), (-1, 1)),
+}
+
+
+def crowd_direction_table(behavior: CrowdBehavior, n_peds: int):
+    """Per-pedestrian unit direction tuple for fixed-pattern behaviors."""
+    if behavior in (CrowdBehavior.STATIC, CrowdBehavior.RANDOM):
+        return tuple((0.0, 0.0) for _ in range(n_peds))
+    key = (behavior, n_peds)
+    if key in _DIR_TABLES:
+        return _DIR_TABLES[key]
+    # Fall back to cycling the largest table of the family.
+    base = _DIR_TABLES[(behavior, 20)]
+    return tuple(base[i % len(base)] for i in range(n_peds))
+
+
+# Initial pedestrian poses, from the world files (see module docstring).
+_DENSE_PEDS = ((-0.01, -1.0), (-1.15, -0.3), (-0.32, -0.12), (-0.85, 0.92),
+               (0.94, 0.99), (0.65, 0.2), (0.22, 0.54), (0.22, 0.54),
+               (0.22, 0.54), (0.22, 0.54), (0.22, 0.54), (0.22, 0.54),
+               (0.22, 0.54), (0.22, 0.54))
+_SPARSE_PEDS = ((-0.01, -1.0), (-1.15, -0.3), (-0.32, -0.12), (-0.85, 0.92),
+                (0.65, 0.2), (0.22, 0.54))
+# Test worlds list obstacles in script-driving order (obstacle_<i> ascending
+# subset; the simulate_*_{4,8,12,20}.py scripts address them in this order).
+_TEST4_PEDS = ((-1.28, -0.75), (-0.66, -0.86), (-1.46, 1.29), (-0.48, 1.28))
+_TEST8_PEDS = ((-1.6, -1.3), (-0.27, -1.47), (-1.28, -0.75), (-0.66, -0.86),
+               (-1.63, 0.67), (-1.46, 1.29), (-0.48, 1.28), (0.056, 0.73))
+_TEST12_PEDS = ((-1.6, -1.3), (-1.0, -1.5), (-0.27, -1.47), (-1.28, -0.75),
+                (-0.66, -0.86), (0.10, -0.81), (-1.63, 0.67), (-0.38, 0.45),
+                (-1.46, 1.29), (-0.93, 0.76), (-0.48, 1.28), (0.056, 0.73))
+_TEST20_PEDS = _TEST12_PEDS + ((0.310203, -1.50737), (0.422808, 0.415746),
+                               (0.676179, 1.21299), (-1.80625, -0.688364),
+                               (-2.00363, -1.5338), (-2.01729, 0.696956),
+                               (-2.05112, 1.57537), (0.537473, -0.824292))
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static environment parameters (hashable; safe to close over in jit)."""
+
+    # --- lidar (turtlebot3_burger.gazebo.xacro:150-177, modified sensor) ---
+    n_beams: int = 360            # raw beams; observation uses n_beams - 1
+    max_scan_range: float = 0.6   # clip + "free space" value
+    lidar_min_range: float = 0.08
+    min_scan_range: float = 0.12  # collision termination threshold
+                                  # (configs/turtlebot3_world.yaml:11; 0.0 in eval)
+
+    # --- robot (turtlebot3_fake.cpp:41-46, burger) ---
+    wheel_separation: float = 0.160
+    wheel_radius: float = 0.033
+    robot_radius: float = 0.105
+    collision_body_width: float = 0.178   # collision-cone circle radius
+                                          # (environment_stage_1_nobonus.py:823)
+    max_lin_vel: float = 0.22
+    max_ang_vel: float = 2.0
+    dt: float = 0.15              # fixed sim step; replaces the wall-clock
+                                  # sleep (environment_stage_1_nobonus.py:1201)
+
+    # --- room (worlds/*.world) ---
+    room_size: float = 3.0        # outer wall length; 5.0 for test worlds
+    wall_thickness: float = 0.1
+
+    # --- crowd ---
+    n_peds: int = 14
+    ped_radius: float = 0.0505    # cylinder radius (crowd_dense.world:108-119)
+    ped_init: Tuple[Vec2, ...] = _DENSE_PEDS
+    behavior: CrowdBehavior = CrowdBehavior.RANDOM
+    crowd_speed: float = 0.2      # simulate_crowd.py:101-102
+    redraw_window_steps: int = 1  # velocity redraw cadence, in env steps
+
+    # --- task (configs/turtlebot3_world.yaml) ---
+    start_pose: Tuple[float, float, float] = (0.75, -0.75, math.pi)
+    goal: Vec2 = (-1.0, 1.0)
+    max_steps: int = 1000
+    goal_eps: float = 0.2         # desired-position box half-size (:1285-1301)
+    waypoint_radius: float = 0.3  # local-goal FOV circle (:250)
+
+    # --- perceived risk (environment_stage_1_nobonus.py) ---
+    k_obstacles: int = 8          # top-K CP slots in the state (:55)
+    max_segments: int = 32        # fixed-shape cap on lidar segments
+    max_tracks: int = 24          # fixed-shape cap on tracked obstacles
+    min_segment_scans: int = 4    # segments below this are dropped (:573-575)
+    ego_distance_threshold: float = 0.140   # ego violation distance (:1000)
+    social_cp_threshold: float = 0.4        # social violation CP (:1004)
+    cp_ttc_weight: float = 0.5    # CP mixing weights (:838-842)
+    cp_dist_weight: float = 0.5
+    grad_round_decimals: int = 3  # gradient rounding (:346)
+
+    # --- reward (compute_reward :1046-1162) ---
+    step_penalty: float = -2.0
+    dtg_reward: float = 1.0
+    htg_reward: float = 1.0
+    waypoint_reward: float = 200.0
+    goal_reward: float = 200.0
+    collision_reward: float = -200.0
+
+    # Reproduce committed reference quirks bit-for-bit where they change
+    # numerics (SURVEY.md §7 "reference quirks policy"). False = intended
+    # semantics (documented per-site).
+    strict_quirks: bool = False
+
+    @property
+    def n_scans(self) -> int:
+        """Observation scan count: the last beam duplicates the first and is
+        dropped (`utils.get_scan_ranges:389-391`)."""
+        return self.n_beams - 1
+
+    @property
+    def room_half_inner(self) -> float:
+        """Half-size of the free interior (inner wall faces)."""
+        return self.room_size / 2.0 - self.wall_thickness / 2.0
+
+    @property
+    def state_dim_risk(self) -> int:
+        """Perceived-risk state: 359 scans + [htg, dtg] + [x, y] + [yaw]
+        + [vx, vy] + 4K obstacle pose/vel (:1038-1039) = 366 + 4K."""
+        return self.n_scans + 7 + 4 * self.k_obstacles
+
+    @property
+    def state_dim_simple(self) -> int:
+        """Simple state: 359 scans + [htg, dtg] + [x, y]
+        (environment_stage_1_original.py:315-320)."""
+        return self.n_scans + 4
+
+    def direction_table(self):
+        return crowd_direction_table(self.behavior, self.n_peds)
+
+
+WORLD_PRESETS = {
+    # training worlds (3x3 room, start (0.75,-0.75) yaw pi, goal (-1,1))
+    "crowd_none": dict(n_peds=0, ped_init=(), behavior=CrowdBehavior.STATIC),
+    "crowd_sparse": dict(n_peds=6, ped_init=_SPARSE_PEDS),
+    "crowd_dense": dict(n_peds=14, ped_init=_DENSE_PEDS),
+    # evaluation worlds (5x5 room, start (1,0) yaw pi, goal (-2,2),
+    # min_scan_range 0 so collisions don't truncate — README.md:66-68)
+    "test_4": dict(n_peds=4, ped_init=_TEST4_PEDS, room_size=5.0,
+                   start_pose=(1.0, 0.0, math.pi), goal=(-2.0, 2.0),
+                   min_scan_range=0.0),
+    "test_8": dict(n_peds=8, ped_init=_TEST8_PEDS, room_size=5.0,
+                   start_pose=(1.0, 0.0, math.pi), goal=(-2.0, 2.0),
+                   min_scan_range=0.0),
+    "test_12": dict(n_peds=12, ped_init=_TEST12_PEDS, room_size=5.0,
+                    start_pose=(1.0, 0.0, math.pi), goal=(-2.0, 2.0),
+                    min_scan_range=0.0),
+    "test_20": dict(n_peds=20, ped_init=_TEST20_PEDS, room_size=5.0,
+                    start_pose=(1.0, 0.0, math.pi), goal=(-2.0, 2.0),
+                    min_scan_range=0.0),
+}
+
+# Behavior presets: (behavior, speed, redraw window in seconds), from the
+# crowd_behaviors scripts (speeds: *_4/8/12 0.1, *_fast 0.2, *_20 0.04,
+# random_4/8/12 ±0.1, random_20 ±0.04 window 11.25 s, crowd ±0.2).
+BEHAVIOR_PRESETS = {
+    "static": (CrowdBehavior.STATIC, 0.0, 1.0),
+    "crowd": (CrowdBehavior.RANDOM, 0.2, 0.15),
+    "crowd_highspeed": (CrowdBehavior.RANDOM, 0.5, 0.15),
+    "random": (CrowdBehavior.RANDOM, 0.1, 2.25),
+    "random_fast": (CrowdBehavior.RANDOM, 0.2, 2.25),
+    "random_20": (CrowdBehavior.RANDOM, 0.04, 11.25),
+    "crossing": (CrowdBehavior.CROSSING, 0.1, 1.0),
+    "crossing_fast": (CrowdBehavior.CROSSING, 0.2, 1.0),
+    "crossing_20": (CrowdBehavior.CROSSING, 0.04, 1.0),
+    "towards": (CrowdBehavior.TOWARDS, 0.1, 1.0),
+    "towards_fast": (CrowdBehavior.TOWARDS, 0.2, 1.0),
+    "towards_20": (CrowdBehavior.TOWARDS, 0.04, 1.0),
+    "ahead": (CrowdBehavior.AHEAD, 0.1, 1.0),
+    "ahead_fast": (CrowdBehavior.AHEAD, 0.2, 1.0),
+    "ahead_20": (CrowdBehavior.AHEAD, 0.04, 1.0),
+}
+
+
+def make_config(world: str = "crowd_dense", behavior: str | None = None,
+                **overrides) -> EnvConfig:
+    """Build an ``EnvConfig`` from a world preset + behavior preset.
+
+    ``make_config("test_20", "crossing_20")`` reproduces the paper's
+    20-pedestrian crossing evaluation scenario (README.md:82-89).
+    """
+    kw = dict(WORLD_PRESETS[world])
+    if behavior is not None:
+        beh, speed, window = BEHAVIOR_PRESETS[behavior]
+        kw.update(behavior=beh, crowd_speed=speed)
+        dt = overrides.get("dt", EnvConfig.dt)
+        kw.update(redraw_window_steps=max(1, round(window / dt)))
+    kw.update(overrides)
+    return EnvConfig(**kw)

@@ -1,0 +1,193 @@
+"""Perceived-risk crowd-navigation environment (the centerpiece MDP).
+
+Pure-functional, batched re-design of
+`turtlebot3_rl_sim/src/environment_stage_1_nobonus.py` (SURVEY.md §2.1):
+366 + 4K dim state (359 scans, heading/distance-to-waypoint, pose, yaw,
+velocity, top-K obstacle pose/vel by collision probability), waypointed
+goal, the -2/+1/+1/±200 reward, lidar termination, and the ego/social
+safety accounting.
+
+``reset`` / ``step`` are pure (state in, state out), jit- and vmap-able;
+``CrowdEnv`` is a thin namespace over them bound to an ``EnvConfig``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from crowdnav_tpu.envs.config import EnvConfig
+from crowdnav_tpu.envs.world import EnvState, init_state, world_step
+from crowdnav_tpu.ops import geom, lidar, risk
+
+
+class StepOutput(NamedTuple):
+    state: EnvState
+    obs: jax.Array
+    reward: jax.Array
+    done: jax.Array
+
+
+def _goal_box(pos, center, eps):
+    """Axis-aligned desired-position box test
+    (`environment_stage_1_nobonus.is_in_desired_position:1285-1301`; the
+    reference's boundary is half-open ``(c-eps, c+eps]`` — we use the
+    symmetric closed box, a measure-zero difference)."""
+    return jnp.all(jnp.abs(pos - center) <= eps, axis=-1)
+
+
+def _htg_reward(curr, prev):
+    """Heading-progress reward table, transcribed from
+    `compute_reward:1080-1106`: +1 when the heading error moved toward zero
+    (or crossed sign), 0 when it drifted further on the same side."""
+    hd = curr - prev
+    pos_case = jnp.where((curr > 0) & (prev > 0), 0.0,
+                         jnp.where((curr > 0) & (prev < 0), 1.0,
+                                   jnp.where((curr < 0) & (prev < 0), 1.0,
+                                             jnp.where((curr < 0) & (prev > 0),
+                                                       1.0, 0.0))))
+    neg_case = jnp.where((curr < 0) & (prev < 0), 0.0,
+                         jnp.where((curr < 0) & (prev > 0), 1.0,
+                                   jnp.where((curr > 0) & (prev > 0), 1.0,
+                                             jnp.where((curr > 0) & (prev < 0),
+                                                       1.0, 0.0))))
+    return jnp.where(hd > 0, pos_case, jnp.where(hd < 0, neg_case, 0.0))
+
+
+def _observe(cfg: EnvConfig, state: EnvState, compute_cp):
+    """Sensor + perception half of ``Env.step``: lidar, waypoint refresh,
+    risk pipeline, observation vector, termination flags."""
+    scans = lidar.scan(state.pos, state.yaw, state.ped_pos, cfg.ped_radius,
+                       cfg.room_half_inner, cfg.max_scan_range,
+                       cfg.lidar_min_range, cfg.n_scans)
+    scans = jnp.round(scans, 3)
+    points = lidar.scan_points(state.pos, state.yaw, scans, cfg.n_scans)
+
+    goal = jnp.array(cfg.goal, jnp.float32)
+    # waypoint refresh on the FOV circle: at step 1, every 5 steps, or when
+    # the agent got closer to the current waypoint (:246-265)
+    wp_first = geom.waypoint_on_circle(state.pos, goal, cfg.waypoint_radius)
+    waypoint = jnp.where(state.step == 1, wp_first, state.waypoint)
+    dtg = jnp.round(jnp.linalg.norm(waypoint - state.pos), 2)
+    htg = jnp.round(geom.heading_to(waypoint, state.pos, state.yaw), 2)
+    refresh = ((state.step % 5) == 0) | (dtg < state.prev_distance)
+    waypoint = jnp.where(refresh, wp_first, waypoint)
+
+    out = risk.perceive(cfg, scans, points, state.tracks, state.pos,
+                        state.prev_pos, compute_cp=compute_cp)
+
+    # agent velocity features, as the reference computes them from the Twist
+    # message — note it uses the *angular rate* as the angle (:773-774); kept
+    # verbatim: the nets only see these as features
+    vx = -state.lin_vel * jnp.cos(state.ang_vel)
+    vy = state.lin_vel * jnp.sin(state.ang_vel)
+
+    # termination (:1011-1023); min_scan_range = 0 disables the collision cut
+    collided = (jnp.min(scans) < cfg.min_scan_range) if cfg.min_scan_range > 0 \
+        else jnp.zeros((), bool)
+    at_goal = _goal_box(state.pos, goal, cfg.goal_eps)
+    timeout = state.step >= cfg.max_steps
+    done = state.done | collided | at_goal | timeout
+
+    obs = jnp.concatenate([
+        scans,
+        jnp.stack([htg, dtg]),
+        jnp.round(state.pos, 3),
+        jnp.round(state.yaw, 3)[None],
+        jnp.round(jnp.stack([vx, vy]), 3),
+        out.top_k_pose_vel.reshape(-1),
+    ])
+    obs = jnp.round(obs, 3)  # (:1042)
+
+    new_state = state.replace(
+        waypoint=waypoint,
+        tracks=out.tracks,
+        done=done,
+        episode_success=at_goal,
+        episode_failure=done & ~at_goal,
+        ego_cp=out.ego_cp,
+        obstacle_present_steps=state.obstacle_present_steps
+        + out.obstacle_seen.astype(jnp.int32),
+        ego_violations=state.ego_violations
+        + out.ego_violation.astype(jnp.int32),
+        social_violations=state.social_violations
+        + (out.ego_cp > cfg.social_cp_threshold).astype(jnp.int32),
+    )
+    return new_state, obs, (dtg, htg), done, at_goal
+
+
+def _reward(cfg: EnvConfig, state: EnvState, dtg, htg, done, at_goal):
+    """`compute_reward:1046-1162` with the waypoint bonus and re-waypointing."""
+    goal = jnp.array(cfg.goal, jnp.float32)
+    dd = dtg - state.prev_distance
+    dtg_r = jnp.where(dd < 0, cfg.dtg_reward, 0.0)
+    htg_r = _htg_reward(htg, state.prev_heading) * cfg.htg_reward
+
+    at_waypoint = _goal_box(state.pos, state.waypoint, cfg.goal_eps)
+    wp_r = jnp.where(at_waypoint, cfg.waypoint_reward, 0.0)
+    new_wp = geom.waypoint_on_circle(state.pos, goal, cfg.waypoint_radius)
+    new_wp = jnp.where(_goal_box(new_wp, goal, cfg.goal_eps), goal, new_wp)
+    waypoint = jnp.where(at_waypoint, new_wp, state.waypoint)
+
+    non_term = cfg.step_penalty + dtg_r + htg_r + wp_r
+    terminal = jnp.where(at_goal, cfg.goal_reward, cfg.collision_reward)
+    reward = non_term + jnp.where(done, terminal, 0.0)
+
+    return reward, state.replace(waypoint=waypoint, prev_distance=dtg,
+                                 prev_heading=htg)
+
+
+class CrowdEnv:
+    """Perceived-risk environment bound to a config. All methods are pure;
+    wrap in ``jax.jit`` / ``jax.vmap`` at the call site (the runtime does)."""
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+        self.obs_dim = cfg.state_dim_risk
+        self.action_dim = 2
+
+    def reset(self, key: jax.Array) -> tuple[EnvState, jax.Array]:
+        """Fresh episode. The CP block is skipped on the reset observation
+        (single-entry agent pose deque, :769), so the top-K slots hold the
+        robot-pose padding — as in the reference's first state."""
+        cfg = self.cfg
+        state = init_state(cfg, key)
+        state, obs, (dtg, htg), _, _ = _observe(
+            cfg, state, compute_cp=jnp.zeros((), bool))
+        state = state.replace(prev_distance=dtg, prev_heading=htg,
+                              done=jnp.zeros((), bool),
+                              episode_success=jnp.zeros((), bool),
+                              episode_failure=jnp.zeros((), bool))
+        return state, obs
+
+    def step(self, state: EnvState, action: jax.Array) -> StepOutput:
+        """One MDP transition: physics + perception + reward.
+
+        Auto-resets when the episode ended on the previous step, so batched
+        rollouts never stall (the reference's driver breaks the episode loop
+        and calls ``reset`` — `start_td3_training.py:106-166`)."""
+        cfg = self.cfg
+
+        def live_step(state):
+            s = world_step(cfg, state, action)
+            s, obs, (dtg, htg), done, at_goal = _observe(
+                cfg, s, compute_cp=jnp.ones((), bool))
+            reward, s = _reward(cfg, s, dtg, htg, done, at_goal)
+            return StepOutput(s, obs, reward.astype(jnp.float32), done)
+
+        def auto_reset(state):
+            key, k = jax.random.split(state.key)
+            s, obs = self.reset(k)
+            s = s.replace(key=key)
+            return StepOutput(s, obs, jnp.zeros((), jnp.float32),
+                              jnp.zeros((), bool))
+
+        return jax.lax.cond(state.done, auto_reset, live_step, state)
+
+    # Episode metrics (`get_social_safety_violation_status:1269-1283`)
+    def safety_scores(self, state: EnvState):
+        denom = jnp.maximum(state.obstacle_present_steps, 1).astype(jnp.float32)
+        ego = 1.0 - state.ego_violations.astype(jnp.float32) / denom
+        social = 1.0 - state.social_violations.astype(jnp.float32) / denom
+        return ego, social
