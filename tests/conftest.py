@@ -18,3 +18,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the risk-pipeline step program is large and
+# CPU-compiles slowly; cache across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/crowdnav_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
