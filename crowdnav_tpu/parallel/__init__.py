@@ -1,0 +1,11 @@
+"""Runtime: jitted actor-learner loops, device meshes, sharded training."""
+
+from crowdnav_tpu.parallel.runtime import (  # noqa: F401
+    Trainer,
+    TrainerConfig,
+    TrainerState,
+)
+from crowdnav_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    ShardedTrainer,
+)
