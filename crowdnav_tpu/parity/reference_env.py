@@ -1,0 +1,376 @@
+"""Sequential NumPy oracle for the perceived-risk environment.
+
+Independent re-implementation of the reference's single-env pipeline
+(`environment_stage_1_nobonus.py`) in plain Python/NumPy — loops, dicts and
+deques, the way the original is written — used purely as a test oracle for
+the fixed-shape JAX engine. Shares NOTHING with the JAX path except the
+config object; any disagreement between the two implementations is a bug in
+one of them.
+
+Where the reference has documented committed bugs (SURVEY.md §7 quirk
+policy), this oracle implements the *intended* semantics, matching the JAX
+default (`strict_quirks=False`); each site is annotated.
+"""
+from __future__ import annotations
+
+import math
+from collections import deque
+
+import numpy as np
+
+from crowdnav_tpu.envs.config import CrowdBehavior, EnvConfig
+
+
+def _wrap(a):
+    while a > math.pi:
+        a -= 2 * math.pi
+    while a < -math.pi:
+        a += 2 * math.pi
+    return a
+
+
+class NumpyCrowdEnv:
+    """Single env, sequential semantics. Physics matches `envs.world`
+    (same dt, same diff-drive math, crowd driven by a supplied velocity
+    schedule so both engines see identical worlds)."""
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+        n = cfg.n_scans
+        step_gap = 2 * cfg.max_scan_range * math.sin(math.pi / 360.0)
+        ang = math.radians(n - 1)
+        wrap_gap = cfg.max_scan_range * math.hypot(math.cos(ang) - 1.0,
+                                                   math.sin(ang))
+        self.bbox = ((n - 1) * step_gap + wrap_gap) / n
+        self.reset()
+
+    # ---------- physics (mirrors envs/world.py, scalar) ----------
+    def reset(self, ped_pos=None):
+        cfg = self.cfg
+        self.x, self.y, self.yaw = cfg.start_pose
+        self.prev_x, self.prev_y = self.x, self.y
+        self.lin_vel = 0.0
+        self.ang_vel = 0.0
+        self.ped = (np.array(cfg.ped_init, float).reshape(-1, 2)
+                    if ped_pos is None else np.array(ped_pos, float))
+        self.goal = np.array(cfg.goal, float)
+        self.waypoint = self.goal.copy()
+        self.tracks = {}       # id -> dict(pos, prev, dist, speed, vel)
+        self.next_track_id = 0
+        self.step_count = 0
+        self.done = False
+        self.success = False
+        d0 = float(np.linalg.norm(self.goal - [self.x, self.y]))
+        self.prev_distance = d0
+        self.prev_heading = _wrap(math.atan2(self.goal[1] - self.y,
+                                             self.goal[0] - self.x)
+                                  - self.yaw)
+        obs = self._observe(compute_cp=False)
+        self.prev_distance = self.last_dtg
+        self.prev_heading = self.last_htg
+        return obs
+
+    def _integrate(self, v, w):
+        cfg = self.cfg
+        vl = v - w * cfg.wheel_separation / 2.0
+        vr = v + w * cfg.wheel_separation / 2.0
+        wl = vl / cfg.wheel_radius * cfg.dt
+        wr = vr / cfg.wheel_radius * cfg.dt
+        ds = cfg.wheel_radius * (wr + wl) / 2.0
+        dth = cfg.wheel_radius * (wr - wl) / cfg.wheel_separation
+        mid = self.yaw + dth / 2.0
+        self.x += ds * math.cos(mid)
+        self.y += ds * math.sin(mid)
+        lim = cfg.room_half_inner - cfg.robot_radius
+        self.x = min(max(self.x, -lim), lim)
+        self.y = min(max(self.y, -lim), lim)
+        self.yaw = _wrap(self.yaw + dth)
+
+    def _scan(self):
+        """Beam-by-beam raycast in a plain loop."""
+        cfg = self.cfg
+        out = np.empty(cfg.n_scans)
+        half = cfg.room_half_inner
+        for i in range(cfg.n_scans):
+            ang = self.yaw - math.radians(i)
+            dx, dy = math.cos(ang), math.sin(ang)
+            # wall exit distance
+            tx = ((half if dx > 0 else -half) - self.x) / dx if dx else 1e9
+            ty = ((half if dy > 0 else -half) - self.y) / dy if dy else 1e9
+            t = min(tx, ty)
+            # circles
+            for px, py in self.ped:
+                rx, ry = px - self.x, py - self.y
+                b = rx * dx + ry * dy
+                disc = cfg.ped_radius ** 2 - (rx * rx + ry * ry - b * b)
+                if disc >= 0:
+                    thit = b - math.sqrt(disc)
+                    if 0 <= thit < t:
+                        t = thit
+            out[i] = min(max(t, cfg.lidar_min_range), cfg.max_scan_range)
+        return np.round(out, 3)
+
+    # ---------- perception (sequential, reference-style) ----------
+    def _points(self, scans):
+        pts = []
+        for i in range(self.cfg.n_scans):
+            ang = math.radians(i)
+            px = self.x + scans[i] * math.cos(ang - self.yaw)
+            py = self.y - scans[i] * math.sin(ang - self.yaw)
+            pts.append((round(px, 3), round(py, 3)))
+        return pts
+
+    def _segment(self, scans, pts):
+        """Group occupied beams into segments by box association, classify
+        each point wall/obstacle from the change-of-gradient, then confirm
+        segment types by the expected-scan-count vote."""
+        cfg = self.cfg
+        n = cfg.n_scans
+        occupied = [scans[i] < cfg.max_scan_range for i in range(n)]
+
+        # gradients (x over y) and change-of-gradient, ring-wrapped
+        grads = [None] * n
+        for i in range(n):
+            if not occupied[i]:
+                continue
+            j = (i + 1) % n
+            dy = pts[i][1] - pts[j][1]
+            g = 0.0 if dy == 0 else (pts[i][0] - pts[j][0]) / dy
+            grads[i] = round(g, cfg.grad_round_decimals)
+        change = [None] * n
+        for i in range(n):
+            j = (i + 1) % n
+            if grads[i] is not None and grads[j] is not None:
+                change[i] = round(abs(grads[i] - grads[j]),
+                                  cfg.grad_round_decimals)
+        kind = [None] * n   # 'w' | 'o'
+        for i in range(n):
+            if change[i] is None:
+                continue
+            nxt = change[(i + 1) % n]
+            if change[i] == 0.0 or (nxt is not None and nxt == 0.0):
+                kind[i] = "w"
+            else:
+                kind[i] = "o"
+
+        # linear-scan segmentation; wrap merge afterwards
+        segs = []           # list of list of beam indices
+        cur = []
+        for i in range(n):
+            if not occupied[i]:
+                if cur:
+                    segs.append(cur)
+                    cur = []
+                continue
+            if cur:
+                p, q = pts[cur[-1]], pts[i]
+                side = 2 * self.bbox
+                if abs(p[0] - q[0]) < side and abs(p[1] - q[1]) < side:
+                    cur.append(i)
+                else:
+                    segs.append(cur)
+                    cur = [i]
+            else:
+                cur = [i]
+        if cur:
+            segs.append(cur)
+        if len(segs) > 1 and occupied[0] and occupied[n - 1] \
+                and segs[0][0] == 0 and segs[-1][-1] == n - 1:
+            p, q = pts[0], pts[n - 1]
+            side = 4 * self.bbox     # doubled box across the blind spot
+            if abs(p[0] - q[0]) < side and abs(p[1] - q[1]) < side:
+                segs[0] = segs[0] + segs.pop()
+
+        # confirmation
+        confirmed = []      # (is_obstacle, pos, dist)
+        n_segs = len(segs)
+        for beams in segs:
+            count = len(beams)
+            if count < cfg.min_segment_scans:
+                continue
+            center = beams[count // 2]
+            d_c = scans[center]
+            frac = (cfg.max_scan_range - d_c) / max(
+                cfg.max_scan_range - cfg.min_scan_range, 1e-9)
+            est = 3.0 + math.floor(29.0 * frac)
+            n_o = sum(1 for b in beams if kind[b] == "o")
+            n_w = sum(1 for b in beams if kind[b] == "w")
+            if n_o > 0 and n_w > 0:
+                score = n_o / max(min(count, est), 1.0)
+                if score >= 0.5 or count <= est:
+                    is_o = n_o > n_w
+                else:
+                    is_o = False
+                confirmed.append((is_o, pts[center], d_c))
+            else:
+                if count > min(n_segs, est):
+                    confirmed.append((n_o > 0, pts[center], d_c))
+        return confirmed
+
+    def _track(self, confirmed):
+        cfg = self.cfg
+        side = 2 * cfg.ped_radius
+        claimed = [False] * len(confirmed)
+        for tid in list(self.tracks):
+            tr = self.tracks[tid]
+            best, best_iou = None, 0.0
+            for j, (_, pos, dist) in enumerate(confirmed):
+                dx = abs(tr["pos"][0] - pos[0])
+                dy = abs(tr["pos"][1] - pos[1])
+                inter = max(side - dx, 0.0) * max(side - dy, 0.0)
+                iou = round(inter / (2 * side * side - inter), 3)
+                if iou > best_iou:
+                    best, best_iou = j, iou
+            if best is None:
+                del self.tracks[tid]
+                continue
+            is_o, pos, dist = confirmed[best]
+            delta = (tr["pos"][0] - pos[0], tr["pos"][1] - pos[1])
+            tr["prev"], tr["pos"], tr["dist"] = tr["pos"], pos, dist
+            tr["speed"] = math.hypot(*delta) / cfg.dt
+            tr["vel"] = (delta[0] / cfg.dt, delta[1] / cfg.dt)
+            tr["has_prev"] = True
+            claimed[best] = True
+        for j, (is_o, pos, dist) in enumerate(confirmed):
+            if claimed[j] or not is_o:
+                continue
+            if len(self.tracks) >= cfg.max_tracks:
+                break
+            self.tracks[self.next_track_id] = dict(
+                pos=pos, prev=pos, dist=dist, speed=-1.0, vel=(0.0, 0.0),
+                has_prev=False)
+            self.next_track_id += 1
+
+    def _collision_probs(self):
+        cfg = self.cfg
+        agent_speed = math.hypot(self.x - self.prev_x,
+                                 self.y - self.prev_y) / cfg.dt
+        rows = []           # (cp, x, y, vx, vy)
+        ego = 0.0
+        for tr in self.tracks.values():
+            shift = ((tr["prev"][0] - tr["pos"][0],
+                      tr["prev"][1] - tr["pos"][1])
+                     if tr["has_prev"] else (0.0, 0.0))
+            tx = self.x + shift[0] - self.prev_x
+            ty = self.y + shift[1] - self.prev_y
+            norm = math.hypot(tx, ty)
+            ux, uy = (tx / norm, ty / norm) if norm > 1e-9 else (1.0, 0.0)
+            rx, ry = tr["pos"][0] - self.prev_x, tr["pos"][1] - self.prev_y
+            b = rx * ux + ry * uy
+            disc = cfg.collision_body_width ** 2 - (rx * rx + ry * ry
+                                                    - b * b)
+            hit = disc >= 0
+            gcp = ((cfg.max_scan_range - tr["dist"])
+                   / max(cfg.max_scan_range - cfg.min_scan_range, 1e-9))
+            if tr["dist"] > cfg.max_scan_range:
+                gcp = 0.0
+            resultant = agent_speed - tr["speed"]
+            if hit and resultant == 0.0:
+                cp = gcp
+            elif hit:
+                sq = math.sqrt(disc)
+                dist_cp = min(abs(b - sq), abs(b + sq))
+                ttc = dist_cp / resultant
+                cp_ttc = min(1.0, 0.15 / ttc) if ttc != 0 else 0.0
+                ego = max(ego, cp_ttc)
+                cp = cfg.cp_ttc_weight * cp_ttc + cfg.cp_dist_weight * gcp
+            else:
+                cp = cfg.cp_dist_weight * gcp
+            rows.append((cp, tr["pos"][0], tr["pos"][1],
+                         tr["vel"][0], tr["vel"][1]))
+        rows.sort(key=lambda r: r[0], reverse=True)
+        top = rows[:cfg.k_obstacles]
+        while len(top) < cfg.k_obstacles:
+            top.append((0.0, self.x, self.y, 0.0, 0.0))
+        return top, ego, (rows[0][0] if rows else 0.0)
+
+    # ---------- MDP ----------
+    def _observe(self, compute_cp=True):
+        cfg = self.cfg
+        scans = self._scan()
+        pts = self._points(scans)
+
+        if self.step_count == 1:
+            self.waypoint = self._waypoint()
+        dtg = round(float(np.linalg.norm(self.waypoint - [self.x, self.y])),
+                    2)
+        htg = round(_wrap(math.atan2(self.waypoint[1] - self.y,
+                                     self.waypoint[0] - self.x) - self.yaw),
+                    2)
+        if self.step_count % 5 == 0 or dtg < self.prev_distance:
+            self.waypoint = self._waypoint()
+        self.last_dtg, self.last_htg = dtg, htg
+
+        confirmed = self._segment(scans, pts)
+        self._track(confirmed)
+        if compute_cp and self.tracks:
+            top, self.ego_cp, self.cp_max = self._collision_probs()
+        else:
+            top = [(0.0, self.x, self.y, 0.0, 0.0)] * cfg.k_obstacles
+            self.ego_cp, self.cp_max = 0.0, 0.0
+
+        vx = -self.lin_vel * math.cos(self.ang_vel)
+        vy = self.lin_vel * math.sin(self.ang_vel)
+        state = list(scans) + [htg, dtg, round(self.x, 3), round(self.y, 3),
+                               round(self.yaw, 3), round(vx, 3),
+                               round(vy, 3)]
+        for row in top:
+            state += [row[1], row[2], row[3], row[4]]
+
+        if not self.done:
+            if cfg.min_scan_range > 0 and scans.min() < cfg.min_scan_range:
+                self.done = True
+            if self._in_box(self.goal):
+                self.done, self.success = True, True
+            if self.step_count >= cfg.max_steps:
+                self.done = True
+        return np.round(np.array(state), 3)
+
+    def _waypoint(self):
+        rel = self.goal - [self.x, self.y]
+        d = float(np.linalg.norm(rel))
+        if d <= self.cfg.waypoint_radius:
+            return self.goal.copy()
+        return np.array([self.x, self.y]) + rel / d * self.cfg.waypoint_radius
+
+    def _in_box(self, center, pos=None):
+        px, py = (self.x, self.y) if pos is None else pos
+        eps = self.cfg.goal_eps
+        return abs(px - center[0]) <= eps and abs(py - center[1]) <= eps
+
+    def _reward(self, dtg, htg):
+        cfg = self.cfg
+        r = cfg.step_penalty
+        if dtg - self.prev_distance < 0:
+            r += cfg.dtg_reward
+        hd = htg - self.prev_heading
+        ch, ph = htg, self.prev_heading
+        if hd > 0 and not (ch > 0 and ph > 0) and (ch != 0 and ph != 0):
+            r += cfg.htg_reward
+        elif hd < 0 and not (ch < 0 and ph < 0) and (ch != 0 and ph != 0):
+            r += cfg.htg_reward
+        if self._in_box(self.waypoint):
+            r += cfg.waypoint_reward
+            self.waypoint = self._waypoint()
+            if self._in_box(self.goal, pos=self.waypoint):
+                self.waypoint = self.goal.copy()
+        if self.done:
+            r += cfg.goal_reward if self.success else cfg.collision_reward
+        self.prev_distance, self.prev_heading = dtg, htg
+        return r
+
+    def step(self, action, ped_vel=None):
+        """One transition; ``ped_vel`` (P,2) is the crowd velocity for this
+        step (supplied externally so JAX/NumPy runs share RNG draws)."""
+        cfg = self.cfg
+        self.prev_x, self.prev_y = self.x, self.y
+        self.lin_vel, self.ang_vel = float(action[0]), float(action[1])
+        self._integrate(self.lin_vel, self.ang_vel)
+        if ped_vel is not None and len(self.ped):
+            self.ped = self.ped + np.asarray(ped_vel) * cfg.dt
+            lim = cfg.room_half_inner - cfg.ped_radius
+            self.ped = np.clip(self.ped, -lim, lim)
+        self.step_count += 1
+        obs = self._observe()
+        reward = self._reward(self.last_dtg, self.last_htg)
+        return obs, reward, self.done
