@@ -1,0 +1,103 @@
+"""Evaluation driver: the reference's test procedure as a batched run.
+
+Replaces the flag-flipped test mode (`start_td3_training.py:41-43`
+``continue_execution=True, learning=False`` against
+`turtlebot3_obstacle_{4,8,12,20}.world` + `simulate_*_20.py` crowd patterns,
+README.md:56-89): loads a checkpoint, rolls N greedy episodes per scenario,
+reports success rate, mean reward/steps, ego/social safety (the CSV metrics
+of `utils.py:56-57`). ``min_scan_range`` is 0 in the test worlds so
+collisions don't truncate episodes (README.md:66-68).
+
+    python -m crowdnav_tpu.drivers.evaluate --algo td3 \
+        --checkpoint results/ckpt_td3 --suite 20
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+from crowdnav_tpu.drivers.train import RISK_ENV_ALGOS, _build_agent
+from crowdnav_tpu.envs import CrowdEnv, SimpleEnv, make_config
+from crowdnav_tpu.parallel import Trainer, TrainerConfig
+from crowdnav_tpu.utils import EpisodeLogger, restore_checkpoint
+
+# the paper's 20-pedestrian evaluation scenarios (README.md:82-89)
+SUITES = {
+    "4": [("test_4", b) for b in ("crossing", "towards", "ahead", "random")],
+    "8": [("test_8", b) for b in ("crossing", "towards", "ahead", "random")],
+    "12": [("test_12", b)
+           for b in ("crossing", "towards", "ahead", "random")],
+    "20": [("test_20", b)
+           for b in ("crossing_20", "towards_20", "ahead_20", "random_20")],
+}
+
+
+def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
+                      n_envs: int, max_steps: int, seed: int):
+    cfg = make_config(world, behavior, max_steps=max_steps)
+    env_cls = CrowdEnv if algo in RISK_ENV_ALGOS else SimpleEnv
+    env = env_cls(cfg)
+    agent, discrete = _build_agent(algo, env.obs_dim, n_envs)
+    tcfg = TrainerConfig(n_envs=n_envs, rollout_chunk=max_steps,
+                         learning=False)
+    trainer = Trainer(env, agent, tcfg, discrete=discrete)
+    state = trainer.init(jax.random.PRNGKey(seed))
+    if agent_state is not None:
+        state = state.replace(agent_state=agent_state)
+    run = trainer.make_jitted()
+    t0 = time.time()
+    state = run(state)     # one chunk = max_steps -> every env finishes >=1 ep
+    jax.block_until_ready(state.obs)
+    summary, state = trainer.drain_stats(state)
+    summary["timelapse"] = round(time.time() - t0, 2)
+    summary["scenario"] = f"{world}/{behavior}"
+    return summary, state.agent_state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--algo", default="td3",
+                   choices=["td3", "ddpg", "sac", "dqn"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--suite", default="20", choices=list(SUITES))
+    p.add_argument("--n-envs", type=int, default=256)
+    p.add_argument("--max-steps", type=int, default=500)
+    p.add_argument("--outdir", default="results")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    agent_state = None
+    if args.checkpoint:
+        # restore against a template built from the first scenario
+        world, behavior = SUITES[args.suite][0]
+        cfg = make_config(world, behavior, max_steps=args.max_steps)
+        env_cls = CrowdEnv if args.algo in RISK_ENV_ALGOS else SimpleEnv
+        env = env_cls(cfg)
+        agent, discrete = _build_agent(args.algo, env.obs_dim, args.n_envs)
+        template = Trainer(env, agent,
+                           TrainerConfig(n_envs=args.n_envs, learning=False),
+                           discrete=discrete).init(jax.random.PRNGKey(0))
+        restored, _ = restore_checkpoint(args.checkpoint, template)
+        agent_state = restored.agent_state
+
+    logger = EpisodeLogger(args.outdir, f"{args.algo}_training_test")
+    results = []
+    for i, (world, behavior) in enumerate(SUITES[args.suite]):
+        summary, agent_state = evaluate_scenario(
+            args.algo, agent_state, world, behavior, args.n_envs,
+            args.max_steps, args.seed + i)
+        logger.record_summary(summary, 0, summary["timelapse"])
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in summary.items()}), flush=True)
+        results.append(summary)
+    overall = sum(r["success_rate"] for r in results) / len(results)
+    print(json.dumps({"suite": args.suite, "overall_success_rate":
+                      round(overall, 4)}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

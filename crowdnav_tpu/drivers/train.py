@@ -1,0 +1,125 @@
+"""Unified training driver.
+
+Replaces `start_{td3,ddpg,sac,dqn,qlearn,sarsa}_training.py` (all of which
+share one loop skeleton, `start_td3_training.py:104-168`): pick an
+algorithm + world + crowd behavior, run chunked batched training, append
+aggregate CSV rows in the reference's schema, checkpoint periodically.
+
+Examples
+--------
+TD3 + perceived risk, K=8, crowd-dense (the paper's main config):
+
+    python -m crowdnav_tpu.drivers.train --algo td3 --world crowd_dense \
+        --behavior crowd --n-envs 1024 --env-steps 2000000
+
+DQN on the simple env (discrete actions):
+
+    python -m crowdnav_tpu.drivers.train --algo dqn --world crowd_sparse \
+        --behavior random --n-envs 256 --env-steps 500000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+from crowdnav_tpu.agents import (DDPG, DDPGConfig, DQN, DQNConfig, SAC,
+                                 SACConfig, TD3, TD3Config)
+from crowdnav_tpu.envs import CrowdEnv, SimpleEnv, make_config
+from crowdnav_tpu.parallel import (ShardedTrainer, Trainer, TrainerConfig,
+                                   make_mesh)
+from crowdnav_tpu.utils import EpisodeLogger, save_checkpoint
+
+# algo -> (agent factory, env class, discrete?)
+# envs follow the reference drivers: TD3/DDPG on the perceived-risk env
+# (start_td3_training.py:13), SAC/DQN/tabular on the simple env
+# (start_sac_training.py:13, start_dqn_training.py:15).
+def _build_agent(algo: str, obs_dim: int, n_envs: int):
+    if algo == "td3":
+        return TD3(TD3Config(), obs_dim), False
+    if algo == "ddpg":
+        return DDPG(DDPGConfig(), obs_dim, n_envs=n_envs), False
+    if algo == "sac":
+        return SAC(SACConfig(), obs_dim), False
+    if algo == "dqn":
+        return DQN(DQNConfig(), obs_dim), True
+    raise ValueError(f"unknown algo {algo!r} (tabular algos: use "
+                     "crowdnav_tpu.drivers.train_tabular)")
+
+
+RISK_ENV_ALGOS = {"td3", "ddpg"}
+
+
+def build(args):
+    cfg = make_config(args.world, args.behavior, max_steps=args.max_steps)
+    env_cls = CrowdEnv if args.algo in RISK_ENV_ALGOS else SimpleEnv
+    env = env_cls(cfg)
+    agent, discrete = _build_agent(args.algo, env.obs_dim, args.n_envs)
+    tcfg = TrainerConfig(n_envs=args.n_envs, rollout_chunk=args.chunk,
+                         updates_per_step=args.updates_per_step,
+                         learn_start=args.learn_start)
+    if args.n_devices > 1:
+        trainer = ShardedTrainer(env, agent, tcfg, make_mesh(args.n_devices),
+                                 discrete=discrete)
+    else:
+        trainer = Trainer(env, agent, tcfg, discrete=discrete)
+    return trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--algo", required=True,
+                   choices=["td3", "ddpg", "sac", "dqn"])
+    p.add_argument("--world", default="crowd_dense")
+    p.add_argument("--behavior", default="crowd")
+    p.add_argument("--n-envs", type=int, default=1024)
+    p.add_argument("--n-devices", type=int, default=1)
+    p.add_argument("--env-steps", type=float, default=2e6)
+    p.add_argument("--chunk", type=int, default=128)
+    p.add_argument("--max-steps", type=int, default=500)
+    p.add_argument("--updates-per-step", type=int, default=1)
+    p.add_argument("--learn-start", type=int, default=1024)
+    p.add_argument("--outdir", default="results")
+    p.add_argument("--ckpt-every-chunks", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    trainer = build(args)
+    state = trainer.init(jax.random.PRNGKey(args.seed))
+    run = trainer.make_jitted()
+    logger = EpisodeLogger(args.outdir, f"{args.algo}_training")
+
+    steps_per_chunk = args.n_envs * args.chunk
+    n_chunks = max(1, int(args.env_steps // steps_per_chunk))
+    episode_base = 0
+    t_start = time.time()
+    for chunk in range(n_chunks):
+        t0 = time.time()
+        state = run(state)
+        jax.block_until_ready(state.obs)
+        summary, state = trainer.drain_stats(state)
+        logger.record_summary(summary, episode_base, time.time() - t0)
+        episode_base += summary["episodes"]
+        print(json.dumps({
+            "chunk": chunk, "env_steps": (chunk + 1) * steps_per_chunk,
+            "sps": round(steps_per_chunk / (time.time() - t0), 1),
+            **{k: (round(v, 4) if isinstance(v, float) else v)
+               for k, v in summary.items()},
+        }), flush=True)
+        if hasattr(trainer.agent, "decay_epsilon"):
+            # reference decays epsilon once per episode
+            # (start_dqn_training.py:125-127); here once per chunk
+            state = state.replace(
+                agent_state=trainer.agent.decay_epsilon(state.agent_state))
+        if args.ckpt_every_chunks and (chunk + 1) % args.ckpt_every_chunks == 0:
+            save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state,
+                            (chunk + 1) * steps_per_chunk)
+    print(f"done: {n_chunks * steps_per_chunk:.0f} env-steps in "
+          f"{time.time() - t_start:.1f}s")
+    return state
+
+
+if __name__ == "__main__":
+    main()

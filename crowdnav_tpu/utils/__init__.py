@@ -1,0 +1,8 @@
+"""Host-side utilities: episode CSV logs, checkpointing, YAML config."""
+
+from crowdnav_tpu.utils.logging import EpisodeLogger  # noqa: F401
+from crowdnav_tpu.utils.checkpoint import (  # noqa: F401
+    restore_checkpoint,
+    save_checkpoint,
+)
+from crowdnav_tpu.utils.yaml_config import load_yaml_config  # noqa: F401

@@ -1,0 +1,33 @@
+"""Orbax checkpointing of the full trainer state.
+
+The reference saves per-net torch ``state_dict`` every 100 episodes
+(`start_td3_training.py:150-154`, `td3.py:304-319` — which saves the
+*target* nets and hard-updates on load) plus DQN's `.h5`+JSON and pickled
+Q-tables. Here one checkpoint captures everything needed for exact resume:
+agent params + targets + optimizer states, the replay ring, env states,
+RNG keys and step counters (SURVEY.md §5 checkpoint/resume).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str, trainer_state, step: int):
+    path = os.path.abspath(path)
+    with ocp.CheckpointManager(path) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(trainer_state))
+        mgr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template, step: int | None = None):
+    """Restore into the shape/dtype structure of ``template`` (a freshly
+    built trainer state)."""
+    path = os.path.abspath(path)
+    with ocp.CheckpointManager(path) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        return mgr.restore(step, args=ocp.args.StandardRestore(abstract)), step

@@ -1,0 +1,66 @@
+"""IO layer tests: CSV schema, checkpoint save/restore round-trip, YAML."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crowdnav_tpu.agents import TD3, TD3Config
+from crowdnav_tpu.envs import SimpleEnv, make_config
+from crowdnav_tpu.parallel import Trainer, TrainerConfig
+from crowdnav_tpu.utils import (EpisodeLogger, load_yaml_config,
+                                restore_checkpoint, save_checkpoint)
+
+
+def test_episode_logger_schema(tmp_path):
+    lg = EpisodeLogger(str(tmp_path), "td3_training")
+    lg.record(1, True, False, 123.4, 82)
+    lg.record(2, False, True, -50.0, 30, 0.9, 0.95, 12.3)
+    lines = open(lg.path).read().strip().split("\n")
+    assert lines[0] == ("episode_number,success_episode,failure_episode,"
+                        "episode_reward,episode_step,ego_safety_score,"
+                        "social_safety_score,timelapse")
+    assert lines[1].startswith("1,True,False,123.4,82")
+    assert len(lines) == 3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = make_config("crowd_none", "static", max_steps=10)
+    env = SimpleEnv(cfg)
+    agent = TD3(TD3Config(hidden=16, batch_size=8, buffer_size=128), env.obs_dim)
+    trainer = Trainer(env, agent, TrainerConfig(n_envs=4, rollout_chunk=4,
+                                                learn_start=8))
+    state = trainer.init(jax.random.PRNGKey(0))
+    state = trainer.make_jitted()(state)
+    save_checkpoint(str(tmp_path / "ckpt"), state, 100)
+
+    template = trainer.init(jax.random.PRNGKey(1))
+    restored, step = restore_checkpoint(str(tmp_path / "ckpt"), template)
+    assert step == 100
+    for a, b in zip(jax.tree.leaves(state.agent_state),
+                    jax.tree.leaves(restored.agent_state)):
+        np.testing.assert_allclose(a, b)
+    assert int(restored.replay.size) == int(state.replay.size)
+
+
+def test_yaml_config_mapping(tmp_path):
+    p = tmp_path / "td3.yaml"
+    p.write_text("""
+turtlebot3:
+    actor_alpha: 0.0003
+    critic_alpha: 0.0003
+    gamma: 0.99
+    tau: 0.005
+    nepisodes: 3020
+    nsteps: 1000
+    desired_pose:
+      x: -1.0
+      y: 1.0
+      z: 0.0
+""")
+    out = load_yaml_config(str(p))
+    assert out["agent"]["actor_lr"] == 0.0003
+    assert out["agent"]["gamma"] == 0.99
+    assert out["env"]["max_steps"] == 1000
+    assert out["env"]["goal"] == (-1.0, 1.0)
+    assert out["run"]["n_episodes"] == 3020
