@@ -153,6 +153,9 @@ class EnvConfig:
     goal_eps: float = 0.2         # desired-position box half-size (:1285-1301)
     waypoint_radius: float = 0.3  # local-goal FOV circle (:250)
 
+    use_waypoints: bool = True    # False = realworld variant (goal direct,
+                                  # environment_stage_1_nobonus_realworld.py)
+
     # --- perceived risk (environment_stage_1_nobonus.py) ---
     k_obstacles: int = 8          # top-K CP slots in the state (:55)
     max_segments: int = 32        # fixed-shape cap on lidar segments
@@ -223,6 +226,11 @@ WORLD_PRESETS = {
     "test_20": dict(n_peds=20, ped_init=_TEST20_PEDS, room_size=5.0,
                     start_pose=(1.0, 0.0, math.pi), goal=(-2.0, 2.0),
                     min_scan_range=0.0),
+    # hardware-deployment shape: 370-dim state, single closest obstacle,
+    # no waypointing (environment_stage_1_nobonus_realworld.py:736-746,
+    # start_td3_real_world_test.py:60)
+    "realworld": dict(n_peds=1, ped_init=((0.3, 0.3),), k_obstacles=1,
+                      use_waypoints=False),
 }
 
 # Behavior presets: (behavior, speed, redraw window in seconds), from the

@@ -55,24 +55,39 @@ def _htg_reward(curr, prev):
     return jnp.where(hd > 0, pos_case, jnp.where(hd < 0, neg_case, 0.0))
 
 
-def _observe(cfg: EnvConfig, state: EnvState, compute_cp):
+def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
     """Sensor + perception half of ``Env.step``: lidar, waypoint refresh,
-    risk pipeline, observation vector, termination flags."""
-    scans = lidar.scan(state.pos, state.yaw, state.ped_pos, cfg.ped_radius,
-                       cfg.room_half_inner, cfg.max_scan_range,
-                       cfg.lidar_min_range, cfg.n_scans)
+    risk pipeline, observation vector, termination flags.
+
+    ``scans`` overrides the simulated lidar with external sensor data — the
+    hardware-deployment path of
+    `environment_stage_1_nobonus_realworld.py` (scan topic in, same
+    perception out)."""
+    if scans is None:
+        scans = lidar.scan(state.pos, state.yaw, state.ped_pos,
+                           cfg.ped_radius, cfg.room_half_inner,
+                           cfg.max_scan_range, cfg.lidar_min_range,
+                           cfg.n_scans)
     scans = jnp.round(scans, 3)
     points = lidar.scan_points(state.pos, state.yaw, scans, cfg.n_scans)
 
     goal = jnp.array(cfg.goal, jnp.float32)
-    # waypoint refresh on the FOV circle: at step 1, every 5 steps, or when
-    # the agent got closer to the current waypoint (:246-265)
-    wp_first = geom.waypoint_on_circle(state.pos, goal, cfg.waypoint_radius)
-    waypoint = jnp.where(state.step == 1, wp_first, state.waypoint)
-    dtg = jnp.round(jnp.linalg.norm(waypoint - state.pos), 2)
-    htg = jnp.round(geom.heading_to(waypoint, state.pos, state.yaw), 2)
-    refresh = ((state.step % 5) == 0) | (dtg < state.prev_distance)
-    waypoint = jnp.where(refresh, wp_first, waypoint)
+    if cfg.use_waypoints:
+        # waypoint refresh on the FOV circle: at step 1, every 5 steps, or
+        # when the agent got closer to the current waypoint (:246-265)
+        wp_first = geom.waypoint_on_circle(state.pos, goal,
+                                           cfg.waypoint_radius)
+        waypoint = jnp.where(state.step == 1, wp_first, state.waypoint)
+        dtg = jnp.round(jnp.linalg.norm(waypoint - state.pos), 2)
+        htg = jnp.round(geom.heading_to(waypoint, state.pos, state.yaw), 2)
+        refresh = ((state.step % 5) == 0) | (dtg < state.prev_distance)
+        waypoint = jnp.where(refresh, wp_first, waypoint)
+    else:
+        # realworld variant: no waypointing, goal features are to the true
+        # goal (environment_stage_1_nobonus_realworld.py)
+        waypoint = goal
+        dtg = jnp.round(jnp.linalg.norm(goal - state.pos), 2)
+        htg = jnp.round(geom.heading_to(goal, state.pos, state.yaw), 2)
 
     out = risk.perceive(cfg, scans, points, state.tracks, state.pos,
                         state.prev_pos, compute_cp=compute_cp)
@@ -124,11 +139,17 @@ def _reward(cfg: EnvConfig, state: EnvState, dtg, htg, done, at_goal):
     dtg_r = jnp.where(dd < 0, cfg.dtg_reward, 0.0)
     htg_r = _htg_reward(htg, state.prev_heading) * cfg.htg_reward
 
-    at_waypoint = _goal_box(state.pos, state.waypoint, cfg.goal_eps)
-    wp_r = jnp.where(at_waypoint, cfg.waypoint_reward, 0.0)
-    new_wp = geom.waypoint_on_circle(state.pos, goal, cfg.waypoint_radius)
-    new_wp = jnp.where(_goal_box(new_wp, goal, cfg.goal_eps), goal, new_wp)
-    waypoint = jnp.where(at_waypoint, new_wp, state.waypoint)
+    if cfg.use_waypoints:
+        at_waypoint = _goal_box(state.pos, state.waypoint, cfg.goal_eps)
+        wp_r = jnp.where(at_waypoint, cfg.waypoint_reward, 0.0)
+        new_wp = geom.waypoint_on_circle(state.pos, goal,
+                                         cfg.waypoint_radius)
+        new_wp = jnp.where(_goal_box(new_wp, goal, cfg.goal_eps), goal,
+                           new_wp)
+        waypoint = jnp.where(at_waypoint, new_wp, state.waypoint)
+    else:
+        wp_r = 0.0
+        waypoint = state.waypoint
 
     non_term = cfg.step_penalty + dtg_r + htg_r + wp_r
     terminal = jnp.where(at_goal, cfg.goal_reward, cfg.collision_reward)
@@ -184,6 +205,18 @@ class CrowdEnv:
                               jnp.zeros((), bool))
 
         return jax.lax.cond(state.done, auto_reset, live_step, state)
+
+    def observe_external(self, state: EnvState, scans: jax.Array,
+                         pos: jax.Array, yaw: jax.Array):
+        """Hardware-deployment observation: run the perception pipeline on a
+        real sensor scan + odometry instead of the simulated world — the
+        role of `environment_stage_1_nobonus_realworld.get_state` (scan
+        topic + odom in, 366+4K state out). Returns (state, obs)."""
+        state = state.replace(prev_pos=state.pos, pos=pos, yaw=yaw,
+                              step=state.step + 1)
+        state, obs, (dtg, htg), _, _ = _observe(
+            self.cfg, state, compute_cp=jnp.ones((), bool), scans=scans)
+        return state.replace(prev_distance=dtg, prev_heading=htg), obs
 
     # Episode metrics (`get_social_safety_violation_status:1269-1283`)
     def safety_scores(self, state: EnvState):
