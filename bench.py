@@ -10,12 +10,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import argparse
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/crowdnav_jax_cache")
 
 import jax
 
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 BASELINE_STEPS_PER_SEC = 6.7  # BASELINE.md wall-clock cap of the reference
+
+
+def _sync(state):
+    """Force real completion. block_until_ready returns early through the
+    axon relay backend, so fetch a scalar instead."""
+    jax.device_get(state.replay.size)
 
 
 def main():
@@ -43,12 +53,12 @@ def main():
 
     # warmup (compile + first chunk)
     state = run(state)
-    jax.block_until_ready(state.obs)
+    _sync(state)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state = run(state)
-    jax.block_until_ready(state.obs)
+    _sync(state)
     dt = time.perf_counter() - t0
 
     steps = args.n_envs * args.chunk * args.iters

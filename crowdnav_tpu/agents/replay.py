@@ -1,11 +1,21 @@
-"""On-device (HBM) experience replay.
+"""On-device (HBM) experience replay with block-aligned ring writes.
 
 Replaces the Python list ring buffers duplicated across `td3.py:19-37`,
-`ddpg.py:21-39`, `sac.py:22-40` and the dict-based `memory.Memory:5-53`:
-preallocated HBM arrays, `at[...].set` ring writes, `jax.random` uniform
-sampling — all inside the jitted train step, so experience never leaves the
-device. One buffer lives per env-shard; there is no cross-shard mixing
-(each shard learns on its own slice and gradients are psum'd).
+`ddpg.py:21-39`, `sac.py:22-40` and the dict-based `memory.Memory:5-53`.
+
+TPU-native design note: row scatters (``at[idx].set`` with 4k dynamic
+indices into a 10^6-row buffer) serialize on TPU and dominated the train
+step. Instead the buffer is laid out as ``(n_blocks, block, dim)`` and every
+add writes one full, aligned block via ``dynamic_update_slice`` — a single
+contiguous HBM store. Consequences, both documented and benign:
+
+- the block size is fixed to the env batch size N (capacity is rounded up
+  to a multiple of N);
+- masked-out rows (the bogus terminal->reset transitions of auto-resetting
+  envs) are replaced inside the block by duplicates of kept rows from the
+  same batch rather than skipped. At episode-boundary rates (one reset per
+  env per episode, so <2% of rows for 50+-step episodes) the uniform-
+  sampling bias is negligible; an all-masked batch skips the write wholly.
 """
 from __future__ import annotations
 
@@ -26,69 +36,76 @@ class Transition(NamedTuple):
 
 @struct.dataclass
 class ReplayState:
-    obs: jax.Array        # (cap, obs_dim)
-    action: jax.Array     # (cap, act_dim)  (or (cap,) int32 for discrete)
-    reward: jax.Array     # (cap,)
-    next_obs: jax.Array   # (cap, obs_dim)
-    done: jax.Array       # (cap,) float32
-    pos: jax.Array        # () int32 next write index
-    size: jax.Array       # () int32 number of valid rows
+    obs: jax.Array        # (n_blocks, block, obs_dim)
+    action: jax.Array     # (n_blocks, block, act_dim) | (n_blocks, block)
+    reward: jax.Array     # (n_blocks, block)
+    next_obs: jax.Array   # (n_blocks, block, obs_dim)
+    done: jax.Array       # (n_blocks, block) float32
+    head: jax.Array       # () int32 next block index
+    size: jax.Array       # () int32 valid rows
 
 
 class ReplayBuffer:
-    """Fixed-capacity uniform replay bound to shapes, pure add/sample."""
+    """Fixed-capacity uniform replay; block size = env batch size."""
 
-    def __init__(self, capacity: int, obs_dim: int, act_dim: int | None):
-        self.capacity = capacity
+    def __init__(self, capacity: int, obs_dim: int, act_dim: int | None,
+                 block: int = 1):
+        self.block = block
+        self.n_blocks = max(1, -(-capacity // block))
+        self.capacity = self.n_blocks * block
         self.obs_dim = obs_dim
         self.act_dim = act_dim  # None => discrete int32 actions
 
     def init(self) -> ReplayState:
-        cap = self.capacity
-        act = (jnp.zeros(cap, jnp.int32) if self.act_dim is None
-               else jnp.zeros((cap, self.act_dim), jnp.float32))
+        nb, b = self.n_blocks, self.block
+        act = (jnp.zeros((nb, b), jnp.int32) if self.act_dim is None
+               else jnp.zeros((nb, b, self.act_dim), jnp.float32))
         return ReplayState(
-            obs=jnp.zeros((cap, self.obs_dim), jnp.float32),
+            obs=jnp.zeros((nb, b, self.obs_dim), jnp.float32),
             action=act,
-            reward=jnp.zeros(cap, jnp.float32),
-            next_obs=jnp.zeros((cap, self.obs_dim), jnp.float32),
-            done=jnp.zeros(cap, jnp.float32),
-            pos=jnp.zeros((), jnp.int32),
+            reward=jnp.zeros((nb, b), jnp.float32),
+            next_obs=jnp.zeros((nb, b, self.obs_dim), jnp.float32),
+            done=jnp.zeros((nb, b), jnp.float32),
+            head=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),
         )
 
     def add_batch(self, state: ReplayState, tr: Transition,
                   mask: jax.Array | None = None) -> ReplayState:
-        """Insert N transitions (one per env) at the ring head.
-
-        ``mask`` drops rows (e.g. the bogus terminal->reset transition an
-        auto-resetting env emits): masked-out rows get an out-of-range index
-        and ``mode='drop'`` discards them; the write pointer advances by the
-        number of kept rows (kept rows pack to the front via a stable sort).
-        """
+        """Insert one block of N transitions at the ring head."""
         n = tr.reward.shape[0]
-        if mask is None:
-            idx = (state.pos + jnp.arange(n, dtype=jnp.int32)) % self.capacity
-            n_kept = jnp.asarray(n, jnp.int32)
-        else:
-            # rank kept rows 0..k-1, dropped rows -> capacity (dropped)
-            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-            idx = jnp.where(mask, (state.pos + rank) % self.capacity,
-                            self.capacity)
+        assert n == self.block, (
+            f"add_batch block size {n} != buffer block {self.block}")
+        if mask is not None:
             n_kept = jnp.sum(mask.astype(jnp.int32))
-        return self._write(state, tr, idx, n_kept)
+            # stable partition: kept rows first, then fill the tail with
+            # duplicates of kept rows (see module docstring)
+            order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
+            pos = jnp.arange(n, dtype=jnp.int32)
+            src = jnp.where(pos < n_kept, pos,
+                            pos % jnp.maximum(n_kept, 1))
+            perm = order[src]
+            tr = jax.tree.map(lambda x: x[perm], tr)
+            write = n_kept > 0
+        else:
+            write = jnp.ones((), bool)
 
-    def _write(self, state: ReplayState, tr: Transition, idx, n_kept):
-        return state.replace(
-            obs=state.obs.at[idx].set(tr.obs, mode="drop"),
-            action=state.action.at[idx].set(tr.action, mode="drop"),
-            reward=state.reward.at[idx].set(tr.reward, mode="drop"),
-            next_obs=state.next_obs.at[idx].set(tr.next_obs, mode="drop"),
-            done=state.done.at[idx].set(tr.done.astype(jnp.float32),
-                                        mode="drop"),
-            pos=(state.pos + n_kept) % self.capacity,
-            size=jnp.minimum(state.size + n_kept, self.capacity),
-        )
+        def do_write(state):
+            def put(buf, rows):
+                rows = rows.astype(buf.dtype)[None]
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, rows, state.head, axis=0)
+            return state.replace(
+                obs=put(state.obs, tr.obs),
+                action=put(state.action, tr.action),
+                reward=put(state.reward, tr.reward),
+                next_obs=put(state.next_obs, tr.next_obs),
+                done=put(state.done, tr.done.astype(jnp.float32)),
+                head=(state.head + 1) % self.n_blocks,
+                size=jnp.minimum(state.size + n, self.capacity),
+            )
+
+        return jax.lax.cond(write, do_write, lambda s: s, state)
 
     def sample(self, state: ReplayState, key: jax.Array,
                batch_size: int) -> Transition:
@@ -98,10 +115,12 @@ class ReplayBuffer:
         single gather)."""
         idx = jax.random.randint(key, (batch_size,), 0,
                                  jnp.maximum(state.size, 1))
+        bi = idx // self.block
+        ri = idx % self.block
         return Transition(
-            obs=state.obs[idx],
-            action=state.action[idx],
-            reward=state.reward[idx],
-            next_obs=state.next_obs[idx],
-            done=state.done[idx],
+            obs=state.obs[bi, ri],
+            action=state.action[bi, ri],
+            reward=state.reward[bi, ri],
+            next_obs=state.next_obs[bi, ri],
+            done=state.done[bi, ri],
         )

@@ -167,6 +167,14 @@ class CrowdEnv:
         self.cfg = cfg
         self.obs_dim = cfg.state_dim_risk
         self.action_dim = 2
+        # The initial world is deterministic given the config (fixed start
+        # pose, fixed pedestrian spawns) — only the RNG key varies across
+        # resets. Precomputing the reset (state, obs) once lets the batched
+        # auto-reset be a cheap select instead of a second full perception
+        # pass in the vmapped cond (which lowers to select = both branches).
+        import numpy as _np
+        st, obs = self.reset(jax.random.PRNGKey(0))
+        self._template = jax.tree.map(_np.asarray, (st, obs))
 
     def reset(self, key: jax.Array) -> tuple[EnvState, jax.Array]:
         """Fresh episode. The CP block is skipped on the reset observation
@@ -189,22 +197,22 @@ class CrowdEnv:
         rollouts never stall (the reference's driver breaks the episode loop
         and calls ``reset`` — `start_td3_training.py:106-166`)."""
         cfg = self.cfg
+        was_done = state.done
 
-        def live_step(state):
-            s = world_step(cfg, state, action)
-            s, obs, (dtg, htg), done, at_goal = _observe(
-                cfg, s, compute_cp=jnp.ones((), bool))
-            reward, s = _reward(cfg, s, dtg, htg, done, at_goal)
-            return StepOutput(s, obs, reward.astype(jnp.float32), done)
+        s = world_step(cfg, state, action)
+        s, obs, (dtg, htg), done, at_goal = _observe(
+            cfg, s, compute_cp=jnp.ones((), bool))
+        reward, s = _reward(cfg, s, dtg, htg, done, at_goal)
 
-        def auto_reset(state):
-            key, k = jax.random.split(state.key)
-            s, obs = self.reset(k)
-            s = s.replace(key=key)
-            return StepOutput(s, obs, jnp.zeros((), jnp.float32),
-                              jnp.zeros((), bool))
-
-        return jax.lax.cond(state.done, auto_reset, live_step, state)
+        tmpl_state, tmpl_obs = self._template
+        key = jax.random.fold_in(state.key, 1)
+        reset_state = jax.tree.map(jnp.asarray, tmpl_state).replace(key=key)
+        sel = lambda a, b: jnp.where(was_done, a, b)
+        new_state = jax.tree.map(sel, reset_state, s)
+        return StepOutput(new_state,
+                          sel(jnp.asarray(tmpl_obs), obs),
+                          sel(0.0, reward).astype(jnp.float32),
+                          sel(False, done))
 
     def observe_external(self, state: EnvState, scans: jax.Array,
                          pos: jax.Array, yaw: jax.Array):

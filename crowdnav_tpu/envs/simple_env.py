@@ -42,6 +42,10 @@ class SimpleEnv:
         self.obs_dim = cfg.state_dim_simple
         self.action_dim = 2
         self.n_discrete_actions = 3
+        # deterministic reset template (see CrowdEnv.__init__)
+        import numpy as _np
+        st, obs = self.reset(jax.random.PRNGKey(0))
+        self._template = jax.tree.map(_np.asarray, (st, obs))
 
     def _observe(self, state: EnvState):
         cfg = self.cfg
@@ -70,35 +74,33 @@ class SimpleEnv:
     def step(self, state: EnvState, action: jax.Array) -> StepOutput:
         """Continuous-mode step; use :meth:`step_discrete` for index actions."""
         cfg = self.cfg
+        was_done = state.done
 
-        def live_step(state):
-            s = world_step(cfg, state, action)
-            obs, (dtg, htg), done, at_goal = self._observe(s)
-            if cfg.strict_quirks:
-                # committed shaping reads agent y/x as distance/heading (:325)
-                cur_d, cur_h = obs[-1], obs[-2]
-            else:
-                cur_d, cur_h = dtg, htg
-            dd = cur_d - s.prev_distance
-            dtg_r = jnp.where(dd < 0, 1.0, 0.0)
-            htg_r = _htg_reward(cur_h, s.prev_heading)
-            non_term = dtg_r + htg_r  # step_reward is 0 here (:335)
-            terminal = jnp.where(at_goal, cfg.goal_reward,
-                                 cfg.collision_reward)
-            reward = non_term + jnp.where(done, terminal, 0.0)
-            s = s.replace(prev_distance=cur_d, prev_heading=cur_h, done=done,
-                          episode_success=at_goal,
-                          episode_failure=done & ~at_goal)
-            return StepOutput(s, obs, reward.astype(jnp.float32), done)
+        s = world_step(cfg, state, action)
+        obs, (dtg, htg), done, at_goal = self._observe(s)
+        if cfg.strict_quirks:
+            # committed shaping reads agent y/x as distance/heading (:325)
+            cur_d, cur_h = obs[-1], obs[-2]
+        else:
+            cur_d, cur_h = dtg, htg
+        dd = cur_d - s.prev_distance
+        dtg_r = jnp.where(dd < 0, 1.0, 0.0)
+        htg_r = _htg_reward(cur_h, s.prev_heading)
+        non_term = dtg_r + htg_r  # step_reward is 0 here (:335)
+        terminal = jnp.where(at_goal, cfg.goal_reward, cfg.collision_reward)
+        reward = non_term + jnp.where(done, terminal, 0.0)
+        s = s.replace(prev_distance=cur_d, prev_heading=cur_h, done=done,
+                      episode_success=at_goal,
+                      episode_failure=done & ~at_goal)
 
-        def auto_reset(state):
-            key, k = jax.random.split(state.key)
-            s, obs = self.reset(k)
-            s = s.replace(key=key)
-            return StepOutput(s, obs, jnp.zeros((), jnp.float32),
-                              jnp.zeros((), bool))
-
-        return jax.lax.cond(state.done, auto_reset, live_step, state)
+        tmpl_state, tmpl_obs = self._template
+        key = jax.random.fold_in(state.key, 1)
+        reset_state = jax.tree.map(jnp.asarray, tmpl_state).replace(key=key)
+        sel = lambda a, b: jnp.where(was_done, a, b)
+        new_state = jax.tree.map(sel, reset_state, s)
+        return StepOutput(new_state, sel(jnp.asarray(tmpl_obs), obs),
+                          sel(0.0, reward).astype(jnp.float32),
+                          sel(False, done))
 
     def step_discrete(self, state: EnvState, action_idx) -> StepOutput:
         return self.step(state, DISCRETE_ACTIONS[action_idx])

@@ -119,13 +119,17 @@ def segment_scans(cfg: EnvConfig, scans, points):
     n_runs = jnp.max(jnp.where(occupied, run_id_raw + 1, 0))
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    seg_count = jax.ops.segment_sum(occupied.astype(jnp.int32), run_id, S + 1)
-    seg_count_o = jax.ops.segment_sum(obs_pt.astype(jnp.int32), run_id, S + 1)
-    seg_count_w = jax.ops.segment_sum(wall_pt.astype(jnp.int32), run_id, S + 1)
-    seg_start = jax.ops.segment_min(jnp.where(occupied, idx, n), run_id, S + 1)
-
-    seg_count, seg_count_o, seg_count_w, seg_start = (
-        a[:S] for a in (seg_count, seg_count_o, seg_count_w, seg_start))
+    # per-run reductions as dense one-hot contractions: scatters
+    # (segment_sum) serialize on TPU, a (n x S) masked reduce vectorizes
+    onehot = (run_id[:, None] == jnp.arange(S)[None, :])        # (n, S)
+    seg_count = jnp.sum(onehot & occupied[:, None], axis=0,
+                        dtype=jnp.int32)
+    seg_count_o = jnp.sum(onehot & obs_pt[:, None], axis=0,
+                          dtype=jnp.int32)
+    seg_count_w = jnp.sum(onehot & wall_pt[:, None], axis=0,
+                          dtype=jnp.int32)
+    seg_start = jnp.min(jnp.where(onehot & occupied[:, None],
+                                  idx[:, None], n), axis=0)
     seg_valid = seg_count > 0
 
     # wrap merge: first & last runs belong to one object when their endpoint
@@ -139,6 +143,7 @@ def segment_scans(cfg: EnvConfig, scans, points):
                 & geom.boxes_associated(first_pt, last_pt, bbox * 2.0))
     sl = jnp.arange(S)
     merged_into_0 = do_merge & (sl == last_id)
+    count0_pre_merge = seg_count[0]
     seg_count0 = seg_count[0] + jnp.where(do_merge, seg_count[last_id], 0)
     seg_count_o0 = seg_count_o[0] + jnp.where(do_merge, seg_count_o[last_id], 0)
     seg_count_w0 = seg_count_w[0] + jnp.where(do_merge, seg_count_w[last_id], 0)
@@ -154,9 +159,7 @@ def segment_scans(cfg: EnvConfig, scans, points):
     # runs contiguous in beam order, so the rank-r element of the merged
     # segment is beam (start0 + r) while r < count0 else (startlast + r-count0)
     center_rank = seg_count // 2
-    count_first = jnp.where((sl == 0) & do_merge,
-                            jax.ops.segment_sum(
-                                occupied.astype(jnp.int32), run_id, S + 1)[0],
+    count_first = jnp.where((sl == 0) & do_merge, count0_pre_merge,
                             seg_count)
     in_first = center_rank < count_first
     start_last = seg_start[last_id]
@@ -223,30 +226,44 @@ def update_tracks(cfg: EnvConfig, tracks: TrackState,
         vel=jnp.where(matched[:, None], delta / cfg.dt, tracks.vel),
     )
 
-    # insertion of unclaimed obstacle objects
-    claimed = jnp.zeros(S, bool).at[best_j].max(matched)
+    # insertion of unclaimed obstacle objects — all dense (scatters
+    # serialize on TPU): claimed via a (T, S) one-hot reduce, slot
+    # assignment by matching free-slot rank to unclaimed-object rank
+    bj_onehot = (best_j[:, None] == jnp.arange(S)[None, :]) \
+        & matched[:, None]                                  # (T, S)
+    claimed = jnp.any(bj_onehot, axis=0)
     insert = segs.is_obstacle & ~claimed                    # (S,)
     free = ~upd.valid
-    n_free = jnp.sum(free.astype(jnp.int32))
-    free_slots = jnp.argsort(~free, stable=True)            # free first
-    rank = jnp.cumsum(insert.astype(jnp.int32)) - 1         # (S,)
-    can = insert & (rank < n_free)
-    slot = jnp.where(can, free_slots[jnp.clip(rank, 0, T - 1)], T)  # T=drop
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1      # (T,)
+    obj_rank = jnp.cumsum(insert.astype(jnp.int32)) - 1     # (S,)
+    sel = (free[:, None] & insert[None, :]
+           & (free_rank[:, None] == obj_rank[None, :]))     # (T, S)
+    inserted = jnp.any(sel, axis=1)                         # (T,)
+    selT = sel.astype(upd.pos.dtype)
 
-    def scatter(arr, vals):
-        return arr.at[slot].set(vals, mode="drop")
+    def pick(vals):                 # (S, ...) -> (T, ...) via dense matmul
+        if vals.ndim == 1:
+            return selT @ vals.astype(upd.pos.dtype)
+        return selT @ vals.astype(upd.pos.dtype)
+
+    ins_pos = pick(segs.center_pos)
+    ins_dist = pick(segs.center_dist)
+
+    def merge(old, ins_vals):
+        mask = inserted if old.ndim == 1 else inserted[:, None]
+        return jnp.where(mask, ins_vals.astype(old.dtype), old)
 
     return TrackState(
-        valid=scatter(upd.valid, jnp.ones(S, bool)),
-        pos=scatter(upd.pos, segs.center_pos),
-        prev_pos=scatter(upd.prev_pos, segs.center_pos),
-        has_prev=scatter(upd.has_prev, jnp.zeros(S, bool)),
-        dist=scatter(upd.dist, segs.center_dist),
+        valid=upd.valid | inserted,
+        pos=merge(upd.pos, ins_pos),
+        prev_pos=merge(upd.prev_pos, ins_pos),
+        has_prev=jnp.where(inserted, False, upd.has_prev),
+        dist=merge(upd.dist, ins_dist),
         # fresh tracks carry the reference's -1 velocity sentinel (:667),
         # which flows into the closing speed and inflates CP for
         # just-appeared obstacles — reproduced deliberately.
-        speed=scatter(upd.speed, jnp.full(S, -1.0, upd.speed.dtype)),
-        vel=scatter(upd.vel, jnp.zeros((S, 2), upd.vel.dtype)),
+        speed=jnp.where(inserted, -1.0, upd.speed),
+        vel=jnp.where(inserted[:, None], 0.0, upd.vel),
     )
 
 

@@ -85,7 +85,7 @@ class Trainer:
         self.discrete = discrete
         act_dim = None if discrete else env.action_dim
         self.buffer = ReplayBuffer(agent.cfg.buffer_size, env.obs_dim,
-                                   act_dim)
+                                   act_dim, block=tcfg.n_envs)
 
     # ---- init ----
     def init(self, key: jax.Array) -> TrainerState:

@@ -23,20 +23,23 @@ def _fake_batch(key, n=32, obs_dim=OBS, act_dim=2):
 
 
 def test_replay_ring_and_mask():
-    buf = ReplayBuffer(capacity=8, obs_dim=3, act_dim=2)
+    buf = ReplayBuffer(capacity=8, obs_dim=3, act_dim=2, block=4)
     st = buf.init()
     tr = Transition(obs=jnp.ones((4, 3)), action=jnp.ones((4, 2)),
                     reward=jnp.arange(4.0), next_obs=jnp.ones((4, 3)),
                     done=jnp.zeros(4, bool))
     st = buf.add_batch(st, tr)
-    assert int(st.size) == 4 and int(st.pos) == 4
-    # masked add: drop rows 0 and 2
+    assert int(st.size) == 4 and int(st.head) == 1
+    # masked add: rows 0 and 2 dropped -> kept rows first, tail duplicates
     st = buf.add_batch(st, tr, mask=jnp.array([False, True, False, True]))
-    assert int(st.size) == 6 and int(st.pos) == 6
-    np.testing.assert_allclose(st.reward[4:6], [1.0, 3.0])
-    # wraps around
+    assert int(st.size) == 8 and int(st.head) == 0
+    np.testing.assert_allclose(st.reward[1], [1.0, 3.0, 1.0, 3.0])
+    # wraps around, overwriting block 0
     st = buf.add_batch(st, tr)
-    assert int(st.pos) == 2 and int(st.size) == 8
+    assert int(st.head) == 1 and int(st.size) == 8
+    # an all-masked batch is skipped entirely
+    st2 = buf.add_batch(st, tr, mask=jnp.zeros(4, bool))
+    assert int(st2.head) == int(st.head)
     batch = buf.sample(st, jax.random.PRNGKey(0), 16)
     assert batch.obs.shape == (16, 3)
 
