@@ -67,7 +67,12 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=500)
     p.add_argument("--outdir", default="results")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="JAX platform override, e.g. 'cpu'")
     args = p.parse_args(argv)
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     agent_state = None
     if args.checkpoint:

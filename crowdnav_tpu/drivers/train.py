@@ -28,6 +28,7 @@ import jax
 from crowdnav_tpu.agents import (DDPG, DDPGConfig, DQN, DQNConfig, SAC,
                                  SACConfig, TD3, TD3Config)
 from crowdnav_tpu.envs import CrowdEnv, SimpleEnv, make_config
+from crowdnav_tpu.envs.config import ABLATION_PRESETS
 from crowdnav_tpu.parallel import (ShardedTrainer, Trainer, TrainerConfig,
                                    make_mesh)
 from crowdnav_tpu.utils import EpisodeLogger, save_checkpoint
@@ -53,7 +54,9 @@ RISK_ENV_ALGOS = {"td3", "ddpg"}
 
 
 def build(args):
-    cfg = make_config(args.world, args.behavior, max_steps=args.max_steps)
+    cfg = make_config(args.world, args.behavior,
+                      ablation=getattr(args, "ablation", None),
+                      max_steps=args.max_steps)
     env_cls = CrowdEnv if args.algo in RISK_ENV_ALGOS else SimpleEnv
     env = env_cls(cfg)
     agent, discrete = _build_agent(args.algo, env.obs_dim, args.n_envs)
@@ -74,6 +77,9 @@ def main(argv=None):
                    choices=["td3", "ddpg", "sac", "dqn"])
     p.add_argument("--world", default="crowd_dense")
     p.add_argument("--behavior", default="crowd")
+    p.add_argument("--ablation", default=None,
+                   choices=list(ABLATION_PRESETS),
+                   help="ablation arm (SURVEY.md §4)")
     p.add_argument("--n-envs", type=int, default=1024)
     p.add_argument("--n-devices", type=int, default=1)
     p.add_argument("--env-steps", type=float, default=2e6)
@@ -84,8 +90,14 @@ def main(argv=None):
     p.add_argument("--outdir", default="results")
     p.add_argument("--ckpt-every-chunks", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="JAX platform override, e.g. 'cpu' for a local smoke "
+                        "run (the JAX_PLATFORMS env var is re-pinned by TPU "
+                        "relay hooks and cannot be relied on)")
     args = p.parse_args(argv)
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     trainer = build(args)
     state = trainer.init(jax.random.PRNGKey(args.seed))
     run = trainer.make_jitted()

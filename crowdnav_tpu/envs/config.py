@@ -156,6 +156,24 @@ class EnvConfig:
     use_waypoints: bool = True    # False = realworld variant (goal direct,
                                   # environment_stage_1_nobonus_realworld.py)
 
+    # --- state ablation (results/td3/{ablation_study,revamped} arms) ---
+    # The reference toggles state components via commented code (the "no CP"
+    # state `environment_stage_1_nobonus.py:1032-1033`, CP weights "original:
+    # 0.5, 0.5 (before ablation)" `:838-842`); the arms live on only as
+    # result-directory names. Here they are explicit config:
+    #   "full"      359 scans + [htg,dtg] + [x,y] + [yaw] + [vx,vy] + 4K
+    #   "no_cp"     same dims, top-K block frozen to the robot-pose padding
+    #               [x, y, 0, 0] * K (:1032-1033)
+    #   "basic"     359 scans + [htg,dtg] + [x,y]           (363; the
+    #               ablation_study/basic arm == the simple-env state,
+    #               environment_stage_1_original.py:315-320)
+    #   "basic_grp" basic + [goal_reaching_prob]            (364; the
+    #               grp block :968-988, computed-but-unused in the main arm)
+    # CP-weight arms (basic_grp_cp = TTC-only CP, *_gcp / no_cpdto = mixed)
+    # are reached through cp_ttc_weight / cp_dist_weight — see
+    # ABLATION_PRESETS.
+    state_variant: str = "full"
+
     # --- perceived risk (environment_stage_1_nobonus.py) ---
     k_obstacles: int = 8          # top-K CP slots in the state (:55)
     max_segments: int = 32        # fixed-shape cap on lidar segments
@@ -193,8 +211,15 @@ class EnvConfig:
 
     @property
     def state_dim_risk(self) -> int:
-        """Perceived-risk state: 359 scans + [htg, dtg] + [x, y] + [yaw]
-        + [vx, vy] + 4K obstacle pose/vel (:1038-1039) = 366 + 4K."""
+        """Perceived-risk state dimension for the configured variant.
+
+        "full"/"no_cp": 359 scans + [htg, dtg] + [x, y] + [yaw] + [vx, vy]
+        + 4K obstacle pose/vel (:1038-1039) = 366 + 4K. Ablation arms drop
+        blocks (see ``state_variant``)."""
+        if self.state_variant == "basic":
+            return self.n_scans + 4
+        if self.state_variant == "basic_grp":
+            return self.n_scans + 5
         return self.n_scans + 7 + 4 * self.k_obstacles
 
     @property
@@ -233,6 +258,27 @@ WORLD_PRESETS = {
                       use_waypoints=False),
 }
 
+# Ablation arms, named after the result directories
+# `results/td3/ablation_study/{basic,basic_grp,basic_grp_cp,basic_grp_cp_gcp}`
+# and `results/td3/revamped/...{_no_cp,_no_cpdto}` (SURVEY.md §4, §6). The
+# state compositions are reconstructed from the commented toggles
+# (`environment_stage_1_nobonus.py:1032-1033` no-CP state, `:838-842` CP
+# weights, `:968-988` grp block); exact historical dims are not recoverable
+# from the reference (only the CSVs survive), so arms are documented config,
+# not bit-parity claims.
+ABLATION_PRESETS = {
+    "basic": dict(state_variant="basic"),
+    "basic_grp": dict(state_variant="basic_grp"),
+    # TTC-only collision probability (distance term ablated away)
+    "basic_grp_cp": dict(cp_ttc_weight=1.0, cp_dist_weight=0.0),
+    # the published main arm: mixed TTC + distance CP
+    "basic_grp_cp_gcp": dict(),
+    # revamped arms: CP block removed from the state / distance term removed
+    "no_cp": dict(state_variant="no_cp"),
+    "no_cpdto": dict(cp_ttc_weight=1.0, cp_dist_weight=0.0),
+}
+
+
 # Behavior presets: (behavior, speed, redraw window in seconds), from the
 # crowd_behaviors scripts (speeds: *_4/8/12 0.1, *_fast 0.2, *_20 0.04,
 # random_4/8/12 ±0.1, random_20 ±0.04 window 11.25 s, crowd ±0.2).
@@ -256,11 +302,14 @@ BEHAVIOR_PRESETS = {
 
 
 def make_config(world: str = "crowd_dense", behavior: str | None = None,
-                **overrides) -> EnvConfig:
-    """Build an ``EnvConfig`` from a world preset + behavior preset.
+                ablation: str | None = None, **overrides) -> EnvConfig:
+    """Build an ``EnvConfig`` from a world preset + behavior preset
+    (+ optional ablation arm).
 
     ``make_config("test_20", "crossing_20")`` reproduces the paper's
-    20-pedestrian crossing evaluation scenario (README.md:82-89).
+    20-pedestrian crossing evaluation scenario (README.md:82-89);
+    ``make_config("crowd_dense", ablation="no_cp")`` reproduces the
+    CP-removed ablation arm.
     """
     kw = dict(WORLD_PRESETS[world])
     if behavior is not None:
@@ -268,5 +317,7 @@ def make_config(world: str = "crowd_dense", behavior: str | None = None,
         kw.update(behavior=beh, crowd_speed=speed)
         dt = overrides.get("dt", EnvConfig.dt)
         kw.update(redraw_window_steps=max(1, round(window / dt)))
+    if ablation is not None:
+        kw.update(ABLATION_PRESETS[ablation])
     kw.update(overrides)
     return EnvConfig(**kw)

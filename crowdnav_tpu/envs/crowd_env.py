@@ -92,6 +92,18 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
     out = risk.perceive(cfg, scans, points, state.tracks, state.pos,
                         state.prev_pos, compute_cp=compute_cp)
 
+    # goal-reaching probability (:968-988; computed-but-unused in the main
+    # arm — "(NOT USED)" — and the +grp block of the ablation arms):
+    # collision-cone TTC of the robot's motion line against an r=0.2 circle
+    # at the true goal (goal velocity 0), CP weights 1.0*TTC + 0.0*distance.
+    motion = state.pos - state.prev_pos
+    agent_speed = jnp.linalg.norm(motion) / cfg.dt
+    u_motion = motion / jnp.maximum(jnp.linalg.norm(motion), 1e-9)
+    d_goal = geom.line_circle_min_distance(state.prev_pos, u_motion, goal, 0.2)
+    hit_goal = jnp.isfinite(d_goal) & (agent_speed != 0.0)
+    ttg = d_goal / jnp.where(agent_speed == 0.0, 1.0, agent_speed)
+    grp = geom.collision_prob_ttc(ttg, hit_goal & compute_cp)
+
     # agent velocity features, as the reference computes them from the Twist
     # message — note it uses the *angular rate* as the angle (:773-774); kept
     # verbatim: the nets only see these as features
@@ -105,14 +117,30 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
     timeout = state.step >= cfg.max_steps
     done = state.done | collided | at_goal | timeout
 
-    obs = jnp.concatenate([
-        scans,
-        jnp.stack([htg, dtg]),
-        jnp.round(state.pos, 3),
-        jnp.round(state.yaw, 3)[None],
-        jnp.round(jnp.stack([vx, vy]), 3),
-        out.top_k_pose_vel.reshape(-1),
-    ])
+    if cfg.state_variant == "basic":
+        # ablation_study/basic: the simple-env composition
+        # (environment_stage_1_original.py:315-320) on this env
+        obs = jnp.concatenate([
+            scans, jnp.stack([htg, dtg]), jnp.round(state.pos, 3)])
+    elif cfg.state_variant == "basic_grp":
+        obs = jnp.concatenate([
+            scans, jnp.stack([htg, dtg]), jnp.round(state.pos, 3),
+            grp[None]])
+    else:
+        topk = out.top_k_pose_vel
+        if cfg.state_variant == "no_cp":
+            # the "no CP" toggle: the CP-selected block replaced by the
+            # robot-pose padding [x, y, 0, 0] * K (:1032-1033)
+            pad = jnp.concatenate([state.pos, jnp.zeros(2, state.pos.dtype)])
+            topk = jnp.broadcast_to(pad[None, :], topk.shape)
+        obs = jnp.concatenate([
+            scans,
+            jnp.stack([htg, dtg]),
+            jnp.round(state.pos, 3),
+            jnp.round(state.yaw, 3)[None],
+            jnp.round(jnp.stack([vx, vy]), 3),
+            topk.reshape(-1),
+        ])
     obs = jnp.round(obs, 3)  # (:1042)
 
     new_state = state.replace(
