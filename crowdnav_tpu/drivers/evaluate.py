@@ -57,6 +57,33 @@ def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
     return summary, state.agent_state
 
 
+def trace_scenario(algo: str, agent_state, world: str, behavior: str,
+                   max_steps: int, seed: int, outdir: str):
+    """Single-env greedy rollout with full state capture: writes the
+    reference's per-step trajectory CSV (`environment_stage_1_original.py:
+    284-286`) and a path plot + final-frame render (the RViz stand-in)."""
+    from crowdnav_tpu import viz
+
+    cfg = make_config(world, behavior, max_steps=max_steps)
+    env_cls = CrowdEnv if algo in RISK_ENV_ALGOS else SimpleEnv
+    env = env_cls(cfg)
+    agent, _ = _build_agent(algo, env.obs_dim, 1)
+    a_state = agent_state if agent_state is not None \
+        else agent.init(jax.random.PRNGKey(seed))
+    policy = lambda obs: agent.act(a_state, obs, explore=False)
+    states, scans, traj, rewards, dones = jax.jit(
+        lambda k: viz.trace_rollout(env, policy, k, max_steps)
+    )(jax.random.PRNGKey(seed))
+    tag = f"{algo}_{world}_{behavior}"
+    viz.TrajectoryWriter(outdir, f"{tag}_trajectory").record_rollout(traj)
+    ax = viz.render_trajectory(cfg, jax.device_get(traj),
+                               title=f"{world}/{behavior}", label=algo)
+    viz.save_figure(ax, f"{outdir}/{tag}_trajectory.png")
+    last = jax.tree.map(lambda x: x[-1], states)
+    ax = viz.render_frame(cfg, last, scans=jax.device_get(scans)[-1])
+    viz.save_figure(ax, f"{outdir}/{tag}_final_frame.png")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--algo", default="td3",
@@ -69,6 +96,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
                    help="JAX platform override, e.g. 'cpu'")
+    p.add_argument("--trajectory", action="store_true",
+                   help="also run a single-env greedy rollout per scenario "
+                        "and write trajectory CSV + path/frame renders "
+                        "(the reference's trajectory audit + RViz views)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -98,6 +129,9 @@ def main(argv=None):
         print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in summary.items()}), flush=True)
         results.append(summary)
+        if args.trajectory:
+            trace_scenario(args.algo, agent_state, world, behavior,
+                           args.max_steps, args.seed + i, args.outdir)
     overall = sum(r["success_rate"] for r in results) / len(results)
     print(json.dumps({"suite": args.suite, "overall_success_rate":
                       round(overall, 4)}))
