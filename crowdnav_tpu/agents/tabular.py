@@ -26,17 +26,18 @@ N_RAD_BINS = 32    # np.arange(-3.14, 3.14, 0.19625) -> 32 edges -> 33 buckets
 # so float32 edge equality matches np.digitize at exact bin boundaries
 import numpy as _np  # noqa: E402
 
-_DIST_EDGES = jnp.asarray(_np.round(_np.arange(0.0, 3.0, 0.1), 2),
-                          jnp.float32)
-_RAD_EDGES = jnp.asarray(_np.round(_np.arange(-3.14, 3.14, 0.19625), 2),
-                         jnp.float32)
+# kept as numpy so importing this module does not initialize the JAX
+# backend (drivers must be able to pin --platform after import)
+_DIST_EDGES = _np.round(_np.arange(0.0, 3.0, 0.1), 2).astype(_np.float32)
+_RAD_EDGES = _np.round(_np.arange(-3.14, 3.14, 0.19625), 2).astype(
+    _np.float32)
 
 
 def discretize_state(dtg, htg):
     """(dtg, htg) -> flat table index; mirrors np.digitize on the reference's
     rounded bin edges (`start_qlearn_training.py:42-46,67-69`)."""
-    di = jnp.searchsorted(_DIST_EDGES, dtg, side="right")
-    hi = jnp.searchsorted(_RAD_EDGES, htg, side="right")
+    di = jnp.searchsorted(jnp.asarray(_DIST_EDGES), dtg, side="right")
+    hi = jnp.searchsorted(jnp.asarray(_RAD_EDGES), htg, side="right")
     return di * (N_RAD_BINS + 1) + hi
 
 

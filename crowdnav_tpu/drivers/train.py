@@ -31,7 +31,9 @@ from crowdnav_tpu.envs import CrowdEnv, SimpleEnv, make_config
 from crowdnav_tpu.envs.config import ABLATION_PRESETS
 from crowdnav_tpu.parallel import (ShardedTrainer, Trainer, TrainerConfig,
                                    make_mesh)
-from crowdnav_tpu.utils import EpisodeLogger, save_checkpoint
+from crowdnav_tpu.utils import (EpisodeLogger, StepThroughput,
+                                restore_checkpoint, save_checkpoint,
+                                trace_if)
 
 # algo -> (agent factory, env class, discrete?)
 # envs follow the reference drivers: TD3/DDPG on the perceived-risk env
@@ -89,6 +91,13 @@ def main(argv=None):
     p.add_argument("--learn-start", type=int, default=1024)
     p.add_argument("--outdir", default="results")
     p.add_argument("--ckpt-every-chunks", type=int, default=50)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --outdir "
+                        "(the reference's continue_execution/resume_epoch, "
+                        "start_td3_training.py:41-49)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture an xprof trace of one warm chunk into this "
+                        "directory (view with TensorBoard profile plugin)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
                    help="JAX platform override, e.g. 'cpu' for a local smoke "
@@ -100,23 +109,34 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     trainer = build(args)
     state = trainer.init(jax.random.PRNGKey(args.seed))
+    steps_done = 0
+    if args.resume:
+        state, steps_done = restore_checkpoint(
+            f"{args.outdir}/ckpt_{args.algo}", state)
+        print(f"resumed from step {steps_done}", flush=True)
     run = trainer.make_jitted()
     logger = EpisodeLogger(args.outdir, f"{args.algo}_training")
 
     steps_per_chunk = args.n_envs * args.chunk
-    n_chunks = max(1, int(args.env_steps // steps_per_chunk))
+    n_chunks = max(1, int((args.env_steps - steps_done) // steps_per_chunk))
+    throughput = StepThroughput(steps_per_chunk)
     episode_base = 0
     t_start = time.time()
     for chunk in range(n_chunks):
         t0 = time.time()
-        state = run(state)
-        jax.block_until_ready(state.obs)
+        # trace one warm chunk (the 3rd: past compile + cache warmup)
+        with trace_if(args.profile_dir, chunk == 2):
+            state = run(state)
+            jax.block_until_ready(state.obs)
+        tput = throughput.tick()
         summary, state = trainer.drain_stats(state)
         logger.record_summary(summary, episode_base, time.time() - t0)
         episode_base += summary["episodes"]
         print(json.dumps({
-            "chunk": chunk, "env_steps": (chunk + 1) * steps_per_chunk,
-            "sps": round(steps_per_chunk / (time.time() - t0), 1),
+            "chunk": chunk,
+            "env_steps": steps_done + (chunk + 1) * steps_per_chunk,
+            "sps": round(tput["sps"], 1),
+            "sps_ema": round(tput["sps_ema"], 1),
             **{k: (round(v, 4) if isinstance(v, float) else v)
                for k, v in summary.items()},
         }), flush=True)
@@ -127,7 +147,7 @@ def main(argv=None):
                 agent_state=trainer.agent.decay_epsilon(state.agent_state))
         if args.ckpt_every_chunks and (chunk + 1) % args.ckpt_every_chunks == 0:
             save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state,
-                            (chunk + 1) * steps_per_chunk)
+                            steps_done + (chunk + 1) * steps_per_chunk)
     print(f"done: {n_chunks * steps_per_chunk:.0f} env-steps in "
           f"{time.time() - t_start:.1f}s")
     return state

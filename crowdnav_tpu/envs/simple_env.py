@@ -25,11 +25,14 @@ from crowdnav_tpu.envs.crowd_env import StepOutput, _goal_box, _htg_reward
 from crowdnav_tpu.envs.world import EnvState, init_state, world_step
 from crowdnav_tpu.ops import geom, lidar
 
-DISCRETE_ACTIONS = jnp.array([
-    [0.22, 0.0],    # FORWARD   (:414-417)
-    [0.22, 2.0],    # TURN_LEFT (:418-421)
-    [0.22, -2.0],   # TURN_RIGHT (:422-425)
-], dtype=jnp.float32)
+# (lin, ang) rows; kept a plain tuple so importing this module does not
+# initialize the JAX backend (a module-level jnp.array pins the platform
+# before drivers can apply --platform overrides)
+DISCRETE_ACTIONS_TABLE = (
+    (0.22, 0.0),    # FORWARD   (:414-417)
+    (0.22, 2.0),    # TURN_LEFT (:418-421)
+    (0.22, -2.0),   # TURN_RIGHT (:422-425)
+)
 
 SIMPLE_MIN_RANGE = 0.105  # (:282)
 
@@ -103,4 +106,5 @@ class SimpleEnv:
                           sel(False, done))
 
     def step_discrete(self, state: EnvState, action_idx) -> StepOutput:
-        return self.step(state, DISCRETE_ACTIONS[action_idx])
+        table = jnp.array(DISCRETE_ACTIONS_TABLE, dtype=jnp.float32)
+        return self.step(state, table[action_idx])

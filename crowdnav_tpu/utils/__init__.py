@@ -1,4 +1,5 @@
-"""Host-side utilities: episode CSV logs, checkpointing, YAML config."""
+"""Host-side utilities: episode CSV logs, checkpointing, YAML config,
+profiling/tracing."""
 
 from crowdnav_tpu.utils.logging import EpisodeLogger  # noqa: F401
 from crowdnav_tpu.utils.checkpoint import (  # noqa: F401
@@ -6,3 +7,9 @@ from crowdnav_tpu.utils.checkpoint import (  # noqa: F401
     save_checkpoint,
 )
 from crowdnav_tpu.utils.yaml_config import load_yaml_config  # noqa: F401
+from crowdnav_tpu.utils.profiling import (  # noqa: F401
+    StepThroughput,
+    annotate,
+    trace,
+    trace_if,
+)
