@@ -61,6 +61,25 @@ class TabularState:
 N_STATES = (N_DIST_BINS + 1) * (N_RAD_BINS + 1)
 
 
+def save_table(path: str, state: TabularState) -> None:
+    """Persist a Q-table (the reference pickles its Q-dict,
+    `utils.py:20-35`, saved at `qlearn.py:82-91`)."""
+    _np.savez(path, q=_np.asarray(state.q),
+              epsilon=_np.asarray(state.epsilon),
+              visited=_np.asarray(state.visited))
+
+
+def load_table(path: str) -> TabularState:
+    """Restore a Q-table (the reference loads one at construction,
+    `qlearn.py:23`)."""
+    if not path.endswith(".npz"):
+        path += ".npz"
+    d = _np.load(path)
+    return TabularState(q=jnp.asarray(d["q"]),
+                        epsilon=jnp.asarray(d["epsilon"]),
+                        visited=jnp.asarray(d["visited"]))
+
+
 class _TabularBase:
     def __init__(self, cfg: TabularConfig):
         self.cfg = cfg

@@ -73,7 +73,13 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ticks", type=int, default=50)
     p.add_argument("--period", type=float, default=0.0)
+    p.add_argument("--platform", default=None,
+                   help="JAX platform override, e.g. 'cpu' (on-robot "
+                        "inference runs off-TPU)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     hist = run_deployment(n_ticks=args.ticks, tick_period=args.period)
     print(f"ran {len(hist)} ticks; final dtg={hist[-1][1]:.2f}")
 

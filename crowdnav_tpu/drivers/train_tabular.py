@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from crowdnav_tpu.agents import QLearning, Sarsa, TabularConfig
-from crowdnav_tpu.agents.tabular import discretize_state
+from crowdnav_tpu.agents.tabular import (discretize_state, load_table,
+                                         save_table)
 from crowdnav_tpu.envs import SimpleEnv, make_config
 from crowdnav_tpu.utils import EpisodeLogger
 
@@ -44,7 +45,7 @@ def make_rollout(env: SimpleEnv, algo, chunk: int, learning: bool = True):
         s2 = _state_index(out.obs)
         k_envs = jax.random.split(k_act, s2.shape[0])
         next_actions = jax.vmap(
-            lambda si, k: algo.act(tab, si, k))(s2, k_envs)
+            lambda si, k: algo.act(tab, si, k, explore=learning))(s2, k_envs)
 
         if learning:
             def upd(tab, row):
@@ -90,13 +91,22 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=100)
     p.add_argument("--max-steps", type=int, default=200)  # configs/qlearn.yaml
     p.add_argument("--outdir", default="results")
+    p.add_argument("--load", default=None,
+                   help="resume from a saved Q-table .npz (the reference "
+                        "loads a pretrained pickle at qlearn.py:23)")
+    p.add_argument("--no-learning", action="store_true",
+                   help="greedy evaluation only (reference eval mode)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="JAX platform override, e.g. 'cpu'")
     args = p.parse_args(argv)
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     cfg = make_config(args.world, args.behavior, max_steps=args.max_steps)
     env = SimpleEnv(cfg)
     algo = (QLearning if args.algo == "qlearn" else Sarsa)(TabularConfig())
-    tab = algo.init()
+    tab = load_table(args.load) if args.load else algo.init()
 
     key = jax.random.PRNGKey(args.seed)
     key, k_env = jax.random.split(key)
@@ -108,7 +118,8 @@ def main(argv=None):
              jnp.zeros(()), jnp.zeros((), jnp.int32))
     carry = (env_states, obs, actions, tab, key, stats)
 
-    rollout = make_rollout(env, algo, args.chunk)
+    rollout = make_rollout(env, algo, args.chunk,
+                           learning=not args.no_learning)
     logger = EpisodeLogger(args.outdir, f"{args.algo}_training")
     steps_per_chunk = args.n_envs * args.chunk
     n_chunks = max(1, int(args.env_steps // steps_per_chunk))
@@ -137,6 +148,7 @@ def main(argv=None):
                           "epsilon": round(float(tab.epsilon), 4),
                           "sps": round(steps_per_chunk / (time.time() - t0),
                                        1)}), flush=True)
+    save_table(f"{args.outdir}/{args.algo}_qtable", tab)
     return carry
 
 

@@ -149,3 +149,20 @@ def test_discretize_matches_numpy_digitize():
         expected = di * (len(rad_bins) + 1) + hi
         got = int(discretize_state(jnp.float32(d), jnp.float32(h)))
         assert got == expected, (d, h, got, expected)
+
+
+def test_qtable_save_load_roundtrip(tmp_path):
+    """Q-table persistence (reference pickles Q-dicts, utils.py:20-35)."""
+    import numpy as np
+    from crowdnav_tpu.agents import QLearning, TabularConfig
+    from crowdnav_tpu.agents.tabular import load_table, save_table
+
+    algo = QLearning(TabularConfig())
+    tab = algo.init()
+    tab = tab.replace(q=tab.q.at[5, 1].set(3.25),
+                      visited=tab.visited.at[5, 1].set(True))
+    save_table(str(tmp_path / "qt"), tab)
+    back = load_table(str(tmp_path / "qt"))
+    assert float(back.q[5, 1]) == 3.25
+    assert bool(back.visited[5, 1])
+    np.testing.assert_allclose(np.asarray(back.q), np.asarray(tab.q))
