@@ -44,7 +44,13 @@ class TD3Config:
     policy_noise: float = 0.2         # target smoothing std (:70)
     noise_clip: float = 0.5           # (:71)
     policy_update: int = 2            # delayed update period (:72)
-    explore_sigma: float = 1.0        # GaussianExploration default (td3.py:68)
+    # GaussianExploration (td3.py:67-78): sigma = max - (max-min) *
+    # min(1, step/decay_period). The reference configures max == min == 1.0
+    # (constant, never actually decays); set explore_sigma_min lower to use
+    # the decay machinery it shipped but never enabled.
+    explore_sigma: float = 1.0
+    explore_sigma_min: float = 1.0
+    explore_decay_steps: int = 1_000_000
 
 
 @struct.dataclass
@@ -56,6 +62,7 @@ class TD3State:
     actor_opt: Any
     critic_opt: Any
     update_count: jax.Array
+    explore_sigma: jax.Array  # () current exploration noise scale
 
 
 class TD3:
@@ -83,14 +90,25 @@ class TD3:
             actor_opt=self.actor_tx.init(actor_params),
             critic_opt=self.critic_tx.init(critic_params),
             update_count=jnp.zeros((), jnp.int32),
+            explore_sigma=jnp.asarray(self.cfg.explore_sigma, jnp.float32),
         )
+
+    def decay_sigma(self, state: TD3State, env_steps) -> TD3State:
+        """Linear sigma anneal (`GaussianExploration.sample:73-77`), driven
+        by total env-steps; a no-op when explore_sigma_min == explore_sigma
+        (the reference's shipped configuration)."""
+        cfg = self.cfg
+        frac = jnp.minimum(1.0, env_steps / cfg.explore_decay_steps)
+        sigma = cfg.explore_sigma - (cfg.explore_sigma
+                                     - cfg.explore_sigma_min) * frac
+        return state.replace(explore_sigma=sigma.astype(jnp.float32))
 
     def act(self, state: TD3State, obs, key=None, explore: bool = True):
         """Batched policy (+ exploration noise, clipped to the action box —
         `td3.py:196-223`)."""
         action = self.actor.apply(state.actor_params, obs)
         if explore and key is not None:
-            noise = jax.random.normal(key, action.shape) * self.cfg.explore_sigma
+            noise = jax.random.normal(key, action.shape) * state.explore_sigma
             action = action + noise
         lo = jnp.array([0.0, -self.cfg.max_ang_vel])
         hi = jnp.array([self.cfg.max_lin_vel, self.cfg.max_ang_vel])
@@ -156,6 +174,7 @@ class TD3:
             actor_opt=actor_opt,
             critic_opt=critic_opt,
             update_count=state.update_count + 1,
+            explore_sigma=state.explore_sigma,
         )
         metrics = {"critic_loss": c_loss, "actor_loss": a_loss,
                    "q_target_mean": jnp.mean(y)}

@@ -36,13 +36,21 @@ SUITES = {
 
 
 def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
-                      n_envs: int, max_steps: int, seed: int):
-    cfg = make_config(world, behavior, max_steps=max_steps)
+                      n_envs: int, max_steps: int, seed: int,
+                      jitter: float = 0.0):
+    """One scenario, N envs. With ``jitter`` > 0 every env (and every
+    auto-reset, via the reset bank) starts from a distinct randomized spawn
+    — the batched stand-in for the episode-to-episode physics variation of
+    the reference's Gazebo test worlds; without it, fixed-pattern behaviors
+    make all N envs bit-identical and the success rate degenerates to
+    {0, 1}."""
+    cfg = make_config(world, behavior, max_steps=max_steps, jitter=jitter)
     env_cls = CrowdEnv if algo in RISK_ENV_ALGOS else SimpleEnv
     env = env_cls(cfg)
     agent, discrete = _build_agent(algo, env.obs_dim, n_envs)
     tcfg = TrainerConfig(n_envs=n_envs, rollout_chunk=max_steps,
-                         learning=False)
+                         learning=False,
+                         reset_bank=n_envs if jitter else 0)
     trainer = Trainer(env, agent, tcfg, discrete=discrete)
     state = trainer.init(jax.random.PRNGKey(seed))
     if agent_state is not None:
@@ -94,6 +102,10 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=500)
     p.add_argument("--outdir", default="results")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--jitter", type=float, default=1.0,
+                   help="spawn-randomization scale so the N eval envs are N "
+                        "distinct episodes (0 restores the deterministic "
+                        "lockstep batch)")
     p.add_argument("--platform", default=None,
                    help="JAX platform override, e.g. 'cpu'")
     p.add_argument("--trajectory", action="store_true",
@@ -124,7 +136,7 @@ def main(argv=None):
     for i, (world, behavior) in enumerate(SUITES[args.suite]):
         summary, agent_state = evaluate_scenario(
             args.algo, agent_state, world, behavior, args.n_envs,
-            args.max_steps, args.seed + i)
+            args.max_steps, args.seed + i, jitter=args.jitter)
         logger.record_summary(summary, 0, summary["timelapse"])
         print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in summary.items()}), flush=True)

@@ -39,9 +39,13 @@ from crowdnav_tpu.utils import (EpisodeLogger, StepThroughput,
 # envs follow the reference drivers: TD3/DDPG on the perceived-risk env
 # (start_td3_training.py:13), SAC/DQN/tabular on the simple env
 # (start_sac_training.py:13, start_dqn_training.py:15).
-def _build_agent(algo: str, obs_dim: int, n_envs: int):
+def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
     if algo == "td3":
-        return TD3(TD3Config(), obs_dim), False
+        kw = {}
+        if args is not None and args.sigma_min is not None:
+            kw = dict(explore_sigma_min=args.sigma_min,
+                      explore_decay_steps=int(args.sigma_decay_steps))
+        return TD3(TD3Config(**kw), obs_dim), False
     if algo == "ddpg":
         return DDPG(DDPGConfig(), obs_dim, n_envs=n_envs), False
     if algo == "sac":
@@ -58,13 +62,21 @@ RISK_ENV_ALGOS = {"td3", "ddpg"}
 def build(args):
     cfg = make_config(args.world, args.behavior,
                       ablation=getattr(args, "ablation", None),
+                      jitter=getattr(args, "jitter", 0.0),
                       max_steps=args.max_steps)
     env_cls = CrowdEnv if args.algo in RISK_ENV_ALGOS else SimpleEnv
     env = env_cls(cfg)
-    agent, discrete = _build_agent(args.algo, env.obs_dim, args.n_envs)
+    agent, discrete = _build_agent(args.algo, env.obs_dim, args.n_envs,
+                                   args)
+    reset_bank = getattr(args, "reset_bank", 0)
+    if getattr(args, "jitter", 0.0) and not reset_bank:
+        # jittered resets are pointless if every auto-reset restores the one
+        # deterministic template; default to a bank of distinct spawns
+        reset_bank = max(256, args.n_envs)
     tcfg = TrainerConfig(n_envs=args.n_envs, rollout_chunk=args.chunk,
                          updates_per_step=args.updates_per_step,
-                         learn_start=args.learn_start)
+                         learn_start=args.learn_start,
+                         reset_bank=reset_bank)
     if args.n_devices > 1:
         trainer = ShardedTrainer(env, agent, tcfg, make_mesh(args.n_devices),
                                  discrete=discrete)
@@ -87,8 +99,23 @@ def main(argv=None):
     p.add_argument("--env-steps", type=float, default=2e6)
     p.add_argument("--chunk", type=int, default=128)
     p.add_argument("--max-steps", type=int, default=500)
-    p.add_argument("--updates-per-step", type=int, default=1)
+    p.add_argument("--updates-per-step", type=int, default=1,
+                   help="gradient updates per batched env step; the "
+                        "reference's update:data ratio of 1 corresponds to "
+                        "n_envs here — ratios of 1/8..1/64 converge in "
+                        "practice (see TrainerConfig)")
     p.add_argument("--learn-start", type=int, default=1024)
+    p.add_argument("--jitter", type=float, default=0.0,
+                   help="reset-randomization scale (start pose, pedestrian "
+                        "spawns/phases); 1.0 = standard training diversity")
+    p.add_argument("--reset-bank", type=int, default=0,
+                   help="size of the pre-randomized reset bank for diverse "
+                        "auto-resets (0 = auto when --jitter is set)")
+    p.add_argument("--sigma-min", type=float, default=None,
+                   help="anneal TD3 exploration sigma to this value "
+                        "(reference ships constant 1.0)")
+    p.add_argument("--sigma-decay-steps", type=float, default=1e6,
+                   help="env-steps over which sigma anneals")
     p.add_argument("--outdir", default="results")
     p.add_argument("--ckpt-every-chunks", type=int, default=50)
     p.add_argument("--resume", action="store_true",
@@ -145,9 +172,17 @@ def main(argv=None):
             # (start_dqn_training.py:125-127); here once per chunk
             state = state.replace(
                 agent_state=trainer.agent.decay_epsilon(state.agent_state))
+        if hasattr(trainer.agent, "decay_sigma"):
+            state = state.replace(
+                agent_state=trainer.agent.decay_sigma(
+                    state.agent_state,
+                    steps_done + (chunk + 1) * steps_per_chunk))
         if args.ckpt_every_chunks and (chunk + 1) % args.ckpt_every_chunks == 0:
             save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state,
                             steps_done + (chunk + 1) * steps_per_chunk)
+    # final checkpoint: the run's one durable artifact, always committed
+    save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state,
+                    steps_done + n_chunks * steps_per_chunk)
     print(f"done: {n_chunks * steps_per_chunk:.0f} env-steps in "
           f"{time.time() - t_start:.1f}s")
     return state

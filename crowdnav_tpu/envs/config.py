@@ -156,6 +156,18 @@ class EnvConfig:
     use_waypoints: bool = True    # False = realworld variant (goal direct,
                                   # environment_stage_1_nobonus_realworld.py)
 
+    # --- reset randomization (new-framework obligation) ---
+    # The reference gets episode diversity for free from Gazebo physics
+    # noise / wall-clock jitter; a deterministic batched engine must inject
+    # it explicitly or every env in the batch is bit-identical for fixed-
+    # pattern behaviors (and eval "n=256" collapses to n=1). All seeded from
+    # the reset key; zero = deterministic template spawn.
+    start_pos_jitter: float = 0.0   # uniform +- (m) on the spawn x, y
+    start_yaw_jitter: float = 0.0   # uniform +- (rad) on the spawn yaw
+    ped_pos_jitter: float = 0.0     # uniform +- (m) per pedestrian spawn
+    ped_shuffle: bool = False       # permute the direction table per env
+    ped_phase_jitter: bool = False  # random redraw-window phase per env
+
     # --- state ablation (results/td3/{ablation_study,revamped} arms) ---
     # The reference toggles state components via commented code (the "no CP"
     # state `environment_stage_1_nobonus.py:1032-1033`, CP weights "original:
@@ -302,7 +314,8 @@ BEHAVIOR_PRESETS = {
 
 
 def make_config(world: str = "crowd_dense", behavior: str | None = None,
-                ablation: str | None = None, **overrides) -> EnvConfig:
+                ablation: str | None = None, jitter: float = 0.0,
+                **overrides) -> EnvConfig:
     """Build an ``EnvConfig`` from a world preset + behavior preset
     (+ optional ablation arm).
 
@@ -319,5 +332,11 @@ def make_config(world: str = "crowd_dense", behavior: str | None = None,
         kw.update(redraw_window_steps=max(1, round(window / dt)))
     if ablation is not None:
         kw.update(ABLATION_PRESETS[ablation])
+    if jitter:
+        # one knob scaling all reset-randomization magnitudes
+        kw.update(start_pos_jitter=0.15 * jitter,
+                  start_yaw_jitter=0.5 * jitter,
+                  ped_pos_jitter=0.2 * jitter,
+                  ped_shuffle=True, ped_phase_jitter=True)
     kw.update(overrides)
     return EnvConfig(**kw)

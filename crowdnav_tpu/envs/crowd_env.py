@@ -161,14 +161,32 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
 
 
 def _reward(cfg: EnvConfig, state: EnvState, dtg, htg, done, at_goal):
-    """`compute_reward:1046-1162` with the waypoint bonus and re-waypointing."""
+    """`compute_reward:1046-1162` with the waypoint bonus and re-waypointing.
+
+    Waypoint-arrival test: the reference uses the +-0.2 box
+    (`is_in_desired_position:1285-1301`) against a waypoint that re-projects
+    to exactly 0.3 m ahead on progress. In deterministic kinematics that
+    combination is degenerate: along a diagonal approach (this task's
+    start->goal bearing is exactly 135 deg) the box passes at 0.267 m while
+    the rounded-distance refresh comparison ties, so the +200 fires on ~4 of
+    5 steps forever — an infinite reward farm that teaches the agent to
+    *avoid* the goal (ending the episode ends the farm). Gazebo's physics
+    jitter hides this corner in the reference (its converged mean reward is
+    ~-21, so bonuses are rare there). Intended semantics (default): Euclidean
+    arrival test, dist <= goal_eps < 0.283 — unreachable while the waypoint
+    re-projects ahead, so the bonus fires only once the waypoint has snapped
+    onto the true goal. ``strict_quirks=True`` keeps the reference's box."""
     goal = jnp.array(cfg.goal, jnp.float32)
     dd = dtg - state.prev_distance
     dtg_r = jnp.where(dd < 0, cfg.dtg_reward, 0.0)
     htg_r = _htg_reward(htg, state.prev_heading) * cfg.htg_reward
 
     if cfg.use_waypoints:
-        at_waypoint = _goal_box(state.pos, state.waypoint, cfg.goal_eps)
+        if cfg.strict_quirks:
+            at_waypoint = _goal_box(state.pos, state.waypoint, cfg.goal_eps)
+        else:
+            at_waypoint = (jnp.linalg.norm(state.pos - state.waypoint)
+                           <= cfg.goal_eps)
         wp_r = jnp.where(at_waypoint, cfg.waypoint_reward, 0.0)
         new_wp = geom.waypoint_on_circle(state.pos, goal,
                                          cfg.waypoint_radius)
@@ -177,14 +195,18 @@ def _reward(cfg: EnvConfig, state: EnvState, dtg, htg, done, at_goal):
         waypoint = jnp.where(at_waypoint, new_wp, state.waypoint)
     else:
         wp_r = 0.0
+        at_waypoint = jnp.zeros((), bool)
         waypoint = state.waypoint
 
     non_term = cfg.step_penalty + dtg_r + htg_r + wp_r
     terminal = jnp.where(at_goal, cfg.goal_reward, cfg.collision_reward)
     reward = non_term + jnp.where(done, terminal, 0.0)
 
-    return reward, state.replace(waypoint=waypoint, prev_distance=dtg,
-                                 prev_heading=htg)
+    return reward, state.replace(
+        waypoint=waypoint, prev_distance=dtg, prev_heading=htg,
+        dtg_reward_count=state.dtg_reward_count + (dd < 0).astype(jnp.int32),
+        htg_reward_count=state.htg_reward_count + (htg_r > 0).astype(jnp.int32),
+        wp_bonus_count=state.wp_bonus_count + at_waypoint.astype(jnp.int32))
 
 
 class CrowdEnv:

@@ -51,6 +51,9 @@ class EnvState:
     # crowd
     ped_pos: jax.Array      # (P, 2)
     ped_vel: jax.Array      # (P, 2) current velocity draw
+    ped_dirs: jax.Array     # (P, 2) per-env direction table (fixed-pattern
+                            #        behaviors; possibly permuted at reset)
+    ped_phase: jax.Array    # () int32 redraw-window phase offset
     # task
     waypoint: jax.Array     # (2,) local goal (:80-83)
     prev_distance: jax.Array  # () distance-to-waypoint at previous step
@@ -67,16 +70,62 @@ class EnvState:
     ego_violations: jax.Array       # () int32 (:999-1002)
     obstacle_present_steps: jax.Array  # () int32 (:653-654)
     last_action_type: jax.Array  # () int32: 0=FWD 1=LEFT 2=RIGHT 3=STOP
+    # per-episode reward-component counters (the reference's end-of-episode
+    # terminal dump, environment_stage_1_nobonus.py:1136-1147)
+    dtg_reward_count: jax.Array  # () int32
+    htg_reward_count: jax.Array  # () int32
+    wp_bonus_count: jax.Array    # () int32 waypoint +200 fires
     key: jax.Array               # PRNG key
 
 
 def init_state(cfg: EnvConfig, key: jax.Array) -> EnvState:
     """Fresh episode state (the `reset` world half: Gazebo reset_simulation
-    restores the world poses — `environment_stage_1_nobonus.py:1227-1263`)."""
+    restores the world poses — `environment_stage_1_nobonus.py:1227-1263`).
+
+    With any of the ``*_jitter`` / ``ped_shuffle`` config fields set, the
+    spawn is randomized from ``key`` — the batched-engine stand-in for the
+    episode diversity the reference gets for free from Gazebo physics noise
+    (without it, fixed-pattern worlds make every env in a batch
+    bit-identical). All-zero jitter reproduces the deterministic template
+    spawn exactly (same RNG stream as before)."""
     f32 = jnp.float32
     n_p = max(cfg.n_peds, 1)
+    # The n_peds == 0 placeholder slot must sit far outside lidar range:
+    # a zeros placeholder is a phantom obstacle at the room center that the
+    # raycaster sees and the env "collides" with.
     ped_init = jnp.array(cfg.ped_init, dtype=f32).reshape(-1, 2) \
+        if cfg.n_peds else jnp.full((1, 2), 1e3, f32)
+    dirs = jnp.array(cfg.direction_table(), dtype=f32).reshape(-1, 2) \
         if cfg.n_peds else jnp.zeros((1, 2), f32)
+    phase = jnp.zeros((), jnp.int32)
+    pos0 = jnp.array(cfg.start_pose[:2], f32)
+    yaw0 = jnp.array(cfg.start_pose[2], f32)
+    randomized = (cfg.start_pos_jitter > 0 or cfg.start_yaw_jitter > 0
+                  or cfg.ped_pos_jitter > 0 or cfg.ped_shuffle
+                  or cfg.ped_phase_jitter)
+    if randomized:
+        k_pos, k_yaw, k_ped, k_perm, k_phase, key = jax.random.split(key, 6)
+        if cfg.start_pos_jitter > 0:
+            pos0 = pos0 + jax.random.uniform(
+                k_pos, (2,), f32, -cfg.start_pos_jitter, cfg.start_pos_jitter)
+            pos0 = jnp.clip(pos0, -(cfg.room_half_inner - cfg.robot_radius),
+                            cfg.room_half_inner - cfg.robot_radius)
+        if cfg.start_yaw_jitter > 0:
+            yaw0 = yaw0 + jax.random.uniform(
+                k_yaw, (), f32, -cfg.start_yaw_jitter, cfg.start_yaw_jitter)
+            yaw0 = (yaw0 + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        if cfg.ped_pos_jitter > 0 and cfg.n_peds:
+            ped_init = ped_init + jax.random.uniform(
+                k_ped, ped_init.shape, f32,
+                -cfg.ped_pos_jitter, cfg.ped_pos_jitter)
+            ped_init = jnp.clip(ped_init,
+                                -(cfg.room_half_inner - cfg.ped_radius),
+                                cfg.room_half_inner - cfg.ped_radius)
+        if cfg.ped_shuffle and cfg.n_peds:
+            dirs = jax.random.permutation(k_perm, dirs, axis=0)
+        if cfg.ped_phase_jitter:
+            phase = jax.random.randint(
+                k_phase, (), 0, max(cfg.redraw_window_steps, 1), jnp.int32)
     tr = TrackState(
         valid=jnp.zeros(cfg.max_tracks, bool),
         pos=jnp.zeros((cfg.max_tracks, 2), f32),
@@ -86,20 +135,22 @@ def init_state(cfg: EnvConfig, key: jax.Array) -> EnvState:
         speed=jnp.zeros(cfg.max_tracks, f32),
         vel=jnp.zeros((cfg.max_tracks, 2), f32),
     )
-    pos = jnp.array(cfg.start_pose[:2], f32)
+    pos = pos0
     goal = jnp.array(cfg.goal, f32)
     d0 = jnp.linalg.norm(goal - pos)
     bearing = jnp.arctan2(goal[1] - pos[1], goal[0] - pos[0])
-    h0 = bearing - cfg.start_pose[2]
+    h0 = bearing - yaw0
     h0 = (h0 + jnp.pi) % (2 * jnp.pi) - jnp.pi
     return EnvState(
         pos=pos,
-        yaw=jnp.array(cfg.start_pose[2], f32),
+        yaw=yaw0,
         lin_vel=jnp.zeros((), f32),
         ang_vel=jnp.zeros((), f32),
         prev_pos=pos,
         ped_pos=ped_init,
         ped_vel=jnp.zeros((n_p, 2), f32),
+        ped_dirs=dirs,
+        ped_phase=phase,
         waypoint=goal,   # refreshed to the FOV circle on the first step (:246)
         prev_distance=d0.astype(f32),
         prev_heading=h0.astype(f32),
@@ -113,6 +164,9 @@ def init_state(cfg: EnvConfig, key: jax.Array) -> EnvState:
         ego_violations=jnp.zeros((), jnp.int32),
         obstacle_present_steps=jnp.zeros((), jnp.int32),
         last_action_type=jnp.zeros((), jnp.int32),
+        dtg_reward_count=jnp.zeros((), jnp.int32),
+        htg_reward_count=jnp.zeros((), jnp.int32),
+        wp_bonus_count=jnp.zeros((), jnp.int32),
         key=key,
     )
 
@@ -140,7 +194,8 @@ def integrate_robot(pos, yaw, lin_vel, ang_vel, dt, wheel_separation,
     return new_pos, yaw + delta_theta
 
 
-def crowd_step(cfg: EnvConfig, key, step, ped_pos, ped_vel, robot_pos):
+def crowd_step(cfg: EnvConfig, key, step, ped_pos, ped_vel, robot_pos,
+               ped_dirs=None, ped_phase=0):
     """Advance pedestrians one dt.
 
     Velocity redraw every ``redraw_window_steps`` (the scripts' re-issue
@@ -154,7 +209,7 @@ def crowd_step(cfg: EnvConfig, key, step, ped_pos, ped_vel, robot_pos):
     """
     if cfg.n_peds == 0:
         return ped_pos, ped_vel
-    redraw = (step % cfg.redraw_window_steps) == 0
+    redraw = ((step + ped_phase) % cfg.redraw_window_steps) == 0
     if cfg.behavior == CrowdBehavior.RANDOM:
         new_vel = jax.random.uniform(
             key, ped_pos.shape, minval=-cfg.crowd_speed,
@@ -162,7 +217,8 @@ def crowd_step(cfg: EnvConfig, key, step, ped_pos, ped_vel, robot_pos):
     elif cfg.behavior == CrowdBehavior.STATIC:
         new_vel = jnp.zeros_like(ped_vel)
     else:
-        table = jnp.array(cfg.direction_table(), dtype=ped_pos.dtype)
+        table = jnp.array(cfg.direction_table(), dtype=ped_pos.dtype) \
+            if ped_dirs is None else ped_dirs
         new_vel = table * cfg.crowd_speed
     vel = jnp.where(redraw, new_vel, ped_vel)
     pos = ped_pos + vel * cfg.dt
@@ -196,7 +252,9 @@ def world_step(cfg: EnvConfig, state: EnvState, action) -> EnvState:
     pos = jnp.clip(pos, -lim, lim)
     yaw = (yaw + jnp.pi) % (2 * jnp.pi) - jnp.pi
     ped_pos, ped_vel = crowd_step(cfg, k_crowd, state.step, state.ped_pos,
-                                  state.ped_vel, pos)
+                                  state.ped_vel, pos,
+                                  ped_dirs=state.ped_dirs,
+                                  ped_phase=state.ped_phase)
     return state.replace(
         pos=pos, yaw=yaw, lin_vel=lin_vel, ang_vel=ang_vel,
         prev_pos=state.pos,

@@ -29,29 +29,41 @@ def make_mesh(n_devices: int | None = None, axis: str = "env") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def _trainer_shardings(trainer_state: TrainerState, mesh: Mesh):
-    """Sharding pytree: leading-axis ``env`` sharding for per-env / per-row
-    arrays, replication for parameters and scalars."""
+def _trainer_shardings(trainer_state: TrainerState, mesh: Mesh,
+                       n_envs: int):
+    """Sharding pytree, assigned by *field role* (not by whichever leading
+    dim happens to divide the mesh): env states / observations / per-env
+    stat rows shard over ``env`` exactly when their leading axis is the env
+    batch; the replay ring shards over its block axis (block == env batch);
+    agent params, scalars and the reset bank replicate (the bank is small
+    and every shard gathers random rows from it)."""
     sharded = NamedSharding(mesh, P("env"))
     replicated = NamedSharding(mesh, P())
-    axis_size = mesh.shape["env"]
 
-    def spec(leaf):
+    def per_env(leaf):
         if hasattr(leaf, "ndim") and leaf.ndim >= 1 \
-                and leaf.shape[0] % axis_size == 0 and leaf.shape[0] > 0:
+                and leaf.shape[0] == n_envs:
             return sharded
         return replicated
 
-    def param_spec(leaf):
+    def replay_spec(leaf):
+        # ReplayState arrays are (n_blocks, block=n_envs, ...): shard the
+        # block axis so each device holds its own envs' transition columns
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2 \
+                and leaf.shape[1] == n_envs:
+            return NamedSharding(mesh, P(None, "env"))
         return replicated
 
     return TrainerState(
-        env_states=jax.tree.map(spec, trainer_state.env_states),
-        obs=spec(trainer_state.obs),
-        agent_state=jax.tree.map(param_spec, trainer_state.agent_state),
-        replay=jax.tree.map(spec, trainer_state.replay),
-        stats=jax.tree.map(spec, trainer_state.stats),
+        env_states=jax.tree.map(per_env, trainer_state.env_states),
+        obs=per_env(trainer_state.obs),
+        agent_state=jax.tree.map(lambda _: replicated,
+                                 trainer_state.agent_state),
+        replay=jax.tree.map(replay_spec, trainer_state.replay),
+        stats=jax.tree.map(per_env, trainer_state.stats),
         key=replicated,
+        reset_bank=None if trainer_state.reset_bank is None
+        else jax.tree.map(lambda _: replicated, trainer_state.reset_bank),
     )
 
 
@@ -69,7 +81,7 @@ class ShardedTrainer(Trainer):
 
     def init(self, key: jax.Array) -> TrainerState:
         state = super().init(key)
-        shardings = _trainer_shardings(state, self.mesh)
+        shardings = _trainer_shardings(state, self.mesh, self.tcfg.n_envs)
         return jax.device_put(state, shardings)
 
     def make_jitted(self):

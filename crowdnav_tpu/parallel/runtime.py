@@ -26,10 +26,23 @@ from crowdnav_tpu.agents.replay import ReplayBuffer, Transition
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
     n_envs: int = 1024
-    updates_per_step: int = 1     # learner steps per env-step (reference: 1)
+    updates_per_step: int = 1     # gradient updates per *batched* step (all
+                                  # n_envs advance together). The reference
+                                  # takes 1 update per single-env step
+                                  # (start_td3_training.py:135-136), i.e. an
+                                  # update:data ratio of 1; here the ratio is
+                                  # updates_per_step / n_envs — size it so
+                                  # total updates over a run lands in the
+                                  # reference's regime (~1 update per 8-64
+                                  # collected transitions works in practice).
     rollout_chunk: int = 64       # env-steps per jitted scan
     learn_start: int = 256        # min replay rows before learning
     learning: bool = True         # False = pure evaluation rollouts
+    reset_bank: int = 0           # >0: auto-resets draw from this many
+                                  # pre-randomized reset states (requires the
+                                  # env config's reset jitter to be nonzero
+                                  # to add diversity); 0 = the env's
+                                  # deterministic template reset
 
 
 @struct.dataclass
@@ -45,6 +58,11 @@ class EpisodeStats:
     total_steps: jax.Array     # () sum of completed-episode lengths
     ego_sum: jax.Array         # () sum of per-episode ego safety scores
     social_sum: jax.Array      # () sum of per-episode social safety scores
+    # reward-component counters of completed episodes (the reference's
+    # per-episode terminal dump, environment_stage_1_nobonus.py:1136-1147)
+    dtg_sum: jax.Array         # () sum of dtg-reward fires
+    htg_sum: jax.Array         # () sum of htg-reward fires
+    wp_sum: jax.Array          # () sum of waypoint +200 fires
 
 
 def init_stats(n_envs: int) -> EpisodeStats:
@@ -56,6 +74,7 @@ def init_stats(n_envs: int) -> EpisodeStats:
         successes=jnp.zeros((), jnp.int32),
         failures=jnp.zeros((), jnp.int32),
         total_reward=z(), total_steps=z(), ego_sum=z(), social_sum=z(),
+        dtg_sum=z(), htg_sum=z(), wp_sum=z(),
     )
 
 
@@ -67,6 +86,8 @@ class TrainerState:
     replay: Any
     stats: EpisodeStats
     key: jax.Array
+    reset_bank: Any = None  # (bank_states, bank_obs) with leading axis B,
+                            # or None — see TrainerConfig.reset_bank
 
 
 class Trainer:
@@ -89,22 +110,31 @@ class Trainer:
 
     # ---- init ----
     def init(self, key: jax.Array) -> TrainerState:
-        k_env, k_agent, k_loop = jax.random.split(key, 3)
+        k_env, k_agent, k_loop, k_bank = jax.random.split(key, 4)
         env_keys = jax.random.split(k_env, self.tcfg.n_envs)
         env_states, obs = jax.vmap(self.env.reset)(env_keys)
-        return TrainerState(
+        bank = None
+        if self.tcfg.reset_bank:
+            bank_keys = jax.random.split(k_bank, self.tcfg.reset_bank)
+            bank = jax.vmap(self.env.reset)(bank_keys)
+        ts = TrainerState(
             env_states=env_states,
             obs=obs,
             agent_state=self.agent.init(k_agent),
             replay=self.buffer.init(),
             stats=init_stats(self.tcfg.n_envs),
             key=k_loop,
+            reset_bank=bank,
         )
+        # reset() aliases some leaves (e.g. pos/prev_pos come out of the
+        # same buffer); donated jit args must not share buffers — deep-copy
+        return jax.tree.map(jnp.array, ts)
 
     # ---- one fused env+learn step ----
     def _train_step(self, state: TrainerState, _):
         tcfg = self.tcfg
-        key, k_act, k_sample, k_update = jax.random.split(state.key, 4)
+        key, k_act, k_sample, k_update, k_bank = jax.random.split(
+            state.key, 5)
 
         # act (batched policy forward + exploration)
         acted = self.agent.act(state.agent_state, state.obs, k_act,
@@ -120,6 +150,27 @@ class Trainer:
         else:
             out = jax.vmap(self.env.step)(state.env_states, actions)
 
+        # Diverse auto-reset: the env's internal auto-reset restores its one
+        # deterministic template; with a reset bank, overwrite those same
+        # rows with randomly drawn pre-randomized reset states (fresh RNG
+        # keys so re-used bank entries don't replay identical crowds).
+        new_env_states, new_obs = out.state, out.obs
+        if state.reset_bank is not None:
+            bank_states, bank_obs = state.reset_bank
+            k_idx, k_fresh = jax.random.split(k_bank)
+            idx = jax.random.randint(k_idx, (tcfg.n_envs,), 0,
+                                     tcfg.reset_bank)
+            fresh_keys = jax.random.split(k_fresh, tcfg.n_envs)
+            b_state = jax.tree.map(lambda a: a[idx], bank_states)
+            b_state = b_state.replace(key=fresh_keys)
+
+            def sel(a, b):
+                m = was_done.reshape(was_done.shape + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
+
+            new_env_states = jax.tree.map(sel, b_state, new_env_states)
+            new_obs = sel(bank_obs[idx], new_obs)
+
         # replay: drop terminal->reset rows
         tr = Transition(obs=state.obs, action=actions, reward=out.reward,
                         next_obs=out.obs, done=out.done)
@@ -133,6 +184,10 @@ class Trainer:
         n_done = jnp.sum(done_now.astype(jnp.int32))
         succ = out.state.episode_success & done_now
         ego, social = self._safety(out.state)
+        comp = [getattr(out.state, f, None) for f in
+                ("dtg_reward_count", "htg_reward_count", "wp_bonus_count")]
+        zero = jnp.zeros_like(done_now, jnp.int32)
+        dtg_c, htg_c, wp_c = [zero if c is None else c for c in comp]
         stats = EpisodeStats(
             ep_reward=jnp.where(done_now, 0.0, ep_reward),
             ep_steps=jnp.where(done_now, 0, ep_steps),
@@ -146,6 +201,12 @@ class Trainer:
             ego_sum=st.ego_sum + jnp.sum(jnp.where(done_now, ego, 0.0)),
             social_sum=st.social_sum + jnp.sum(
                 jnp.where(done_now, social, 0.0)),
+            dtg_sum=st.dtg_sum + jnp.sum(
+                jnp.where(done_now, dtg_c, 0)).astype(jnp.float32),
+            htg_sum=st.htg_sum + jnp.sum(
+                jnp.where(done_now, htg_c, 0)).astype(jnp.float32),
+            wp_sum=st.wp_sum + jnp.sum(
+                jnp.where(done_now, wp_c, 0)).astype(jnp.float32),
         )
 
         # learn
@@ -171,9 +232,10 @@ class Trainer:
                 can_learn, do_learn, lambda c: c[0],
                 (agent_state, k_update))
 
-        new_state = TrainerState(env_states=out.state, obs=out.obs,
+        new_state = TrainerState(env_states=new_env_states, obs=new_obs,
                                  agent_state=agent_state, replay=replay,
-                                 stats=stats, key=key)
+                                 stats=stats, key=key,
+                                 reset_bank=state.reset_bank)
         return new_state, metrics
 
     def _safety(self, env_states):
@@ -197,7 +259,8 @@ class Trainer:
         s = state.stats
         host = jax.device_get(
             (s.episodes, s.successes, s.failures, s.total_reward,
-             s.total_steps, s.ego_sum, s.social_sum))
+             s.total_steps, s.ego_sum, s.social_sum, s.dtg_sum, s.htg_sum,
+             s.wp_sum))
         episodes = int(host[0])
         summary = {
             "episodes": episodes,
@@ -208,6 +271,11 @@ class Trainer:
             "mean_steps": float(host[4]) / max(episodes, 1),
             "mean_ego_safety": float(host[5]) / max(episodes, 1),
             "mean_social_safety": float(host[6]) / max(episodes, 1),
+            # per-episode reward-component means (reference terminal dump,
+            # environment_stage_1_nobonus.py:1136-1147)
+            "mean_dtg_rewards": float(host[7]) / max(episodes, 1),
+            "mean_htg_rewards": float(host[8]) / max(episodes, 1),
+            "mean_wp_bonuses": float(host[9]) / max(episodes, 1),
         }
         fresh = init_stats(self.tcfg.n_envs).replace(
             ep_reward=s.ep_reward, ep_steps=s.ep_steps)

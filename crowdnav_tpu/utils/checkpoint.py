@@ -16,10 +16,18 @@ import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path: str, trainer_state, step: int):
+    """Atomic, verified save: Orbax finalizes (tmp-dir rename) inside the
+    manager; we additionally assert the step is visible as committed before
+    returning, so a crash can never leave the *latest* checkpoint as an
+    orphaned ``*.orbax-checkpoint-tmp`` dir (the round-1 failure mode)."""
     path = os.path.abspath(path)
     with ocp.CheckpointManager(path) as mgr:
         mgr.save(step, args=ocp.args.StandardSave(trainer_state))
         mgr.wait_until_finished()
+        if mgr.latest_step() != step:
+            raise RuntimeError(
+                f"checkpoint save at step {step} did not finalize in {path} "
+                f"(latest committed: {mgr.latest_step()})")
 
 
 def restore_checkpoint(path: str, template, step: int | None = None):
@@ -29,5 +37,10 @@ def restore_checkpoint(path: str, template, step: int | None = None):
     with ocp.CheckpointManager(path) as mgr:
         if step is None:
             step = mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(
+                    f"no committed checkpoint found under {path} (orphaned "
+                    f"*.orbax-checkpoint-tmp dirs don't count); cannot "
+                    f"resume")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract)), step

@@ -1,0 +1,108 @@
+"""Reset randomization, waypoint-farm regression, phantom-obstacle fix.
+
+The reference gets episode diversity from Gazebo physics noise; the batched
+engine injects it explicitly via seeded reset jitter (VERDICT round-1 items
+3/1). These tests pin:
+
+- jittered resets give distinct episodes across a batch (no lockstep);
+- zero jitter reproduces the deterministic template bit-for-bit;
+- the waypoint +200 is not farmable (the round-1 reward hack: the box
+  test passed at 0.267 m on diagonal approach while the refresh tied —
+  `environment_stage_1_nobonus.py:1285-1301` vs `:259-265`);
+- a scripted goal-seeker actually reaches the goal in an empty room (the
+  n_peds=0 placeholder slot used to be a phantom obstacle at the origin);
+- the runtime reset bank de-duplicates auto-resets.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crowdnav_tpu.baselines import goal_seeker
+from crowdnav_tpu.envs import CrowdEnv, make_config
+from crowdnav_tpu.parallel import Trainer, TrainerConfig
+
+
+class GoalSeekerAgent:
+    """Minimal agent-contract wrapper around the scripted baseline."""
+
+    class _Cfg:
+        buffer_size = 4096
+        batch_size = 8
+
+    cfg = _Cfg()
+
+    def init(self, key):
+        return jnp.zeros(())
+
+    def act(self, state, obs, key=None, explore=True):
+        return goal_seeker(obs)
+
+
+def test_jittered_resets_are_distinct():
+    env = CrowdEnv(make_config("crowd_dense", "crossing", jitter=1.0))
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    states, obs = jax.vmap(env.reset)(keys)
+    # all 16 spawns distinct (start pose, ped spawns) and obs distinct
+    assert len(np.unique(np.asarray(states.pos), axis=0)) == 16
+    assert len(np.unique(np.asarray(obs), axis=0)) == 16
+    # direction tables are permutations of the same multiset
+    dirs = np.asarray(states.ped_dirs)
+    assert not np.all(dirs == dirs[0])   # at least one permuted differently
+    base = np.sort(dirs[0].view([('x', 'f4'), ('y', 'f4')]).ravel())
+    for d in dirs:
+        np.testing.assert_array_equal(
+            np.sort(d.view([('x', 'f4'), ('y', 'f4')]).ravel()), base)
+
+
+def test_zero_jitter_is_deterministic_template():
+    env = CrowdEnv(make_config("crowd_dense"))
+    s1, o1 = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    s2, o2 = jax.jit(env.reset)(jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+
+
+def test_goal_seeker_succeeds_in_empty_room():
+    env = CrowdEnv(make_config("crowd_none", max_steps=200))
+    step = jax.jit(env.step)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    total = 0.0
+    for _ in range(200):
+        out = step(state, goal_seeker(obs))
+        state, obs = out.state, out.obs
+        total += float(out.reward)
+        if bool(out.done):
+            break
+    assert bool(state.episode_success), "goal never reached in empty room"
+    # waypoint +200 fires at most a few times (goal-snap vicinity), never
+    # as a per-step farm; total reward lands in the reference's success
+    # territory (trajectory eval mean 227.5, BASELINE.md) not in the
+    # +1000s of the round-1 reward hack
+    assert int(state.wp_bonus_count) <= 3
+    assert 0 < total < 600
+
+
+def test_reward_component_counters():
+    env = CrowdEnv(make_config("crowd_none", max_steps=50))
+    step = jax.jit(env.step)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    for _ in range(10):
+        out = step(state, goal_seeker(obs))
+        state, obs = out.state, out.obs
+    assert int(state.dtg_reward_count) > 0
+    assert int(state.htg_reward_count) > 0
+
+
+def test_reset_bank_dedegenerates_autoresets():
+    env = CrowdEnv(make_config("crowd_dense", "crossing", jitter=1.0,
+                               max_steps=8))
+    tcfg = TrainerConfig(n_envs=8, rollout_chunk=20, learning=False,
+                         reset_bank=32)
+    trainer = Trainer(env, GoalSeekerAgent(), tcfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+    state = trainer.make_jitted()(state)
+    # after >=1 auto-reset per env (max_steps=8, chunk=20), the batch still
+    # holds distinct spawn positions (the template reset would collapse all
+    # reset envs onto one point)
+    pos = np.asarray(jax.device_get(state.env_states.pos))
+    assert len(np.unique(pos, axis=0)) >= 6
