@@ -77,7 +77,11 @@ def build(args):
                          updates_per_step=args.updates_per_step,
                          learn_start=args.learn_start,
                          reset_bank=reset_bank)
-    if args.n_devices > 1:
+    if getattr(args, "multihost", False):
+        # mesh over ALL global devices (jax.distributed must be initialized)
+        trainer = ShardedTrainer(env, agent, tcfg, make_mesh(None),
+                                 discrete=discrete)
+    elif args.n_devices > 1:
         trainer = ShardedTrainer(env, agent, tcfg, make_mesh(args.n_devices),
                                  discrete=discrete)
     else:
@@ -130,10 +134,25 @@ def main(argv=None):
                    help="JAX platform override, e.g. 'cpu' for a local smoke "
                         "run (the JAX_PLATFORMS env var is re-pinned by TPU "
                         "relay hooks and cannot be relied on)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-process execution: calls jax.distributed."
+                        "initialize (coordinator/process id from "
+                        "--coordinator/--num-processes/--process-id or the "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID env vars) and shards the env axis "
+                        "over ALL hosts' devices; --n-envs is the GLOBAL "
+                        "batch. Run the same command on every host.")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        from crowdnav_tpu.parallel import init_multihost, process_summary
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
+        print(json.dumps(process_summary()), flush=True)
     trainer = build(args)
     state = trainer.init(jax.random.PRNGKey(args.seed))
     steps_done = 0
@@ -142,7 +161,9 @@ def main(argv=None):
             f"{args.outdir}/ckpt_{args.algo}", state)
         print(f"resumed from step {steps_done}", flush=True)
     run = trainer.make_jitted()
-    logger = EpisodeLogger(args.outdir, f"{args.algo}_training")
+    is_main = jax.process_index() == 0
+    logger = EpisodeLogger(args.outdir, f"{args.algo}_training") \
+        if is_main else None
 
     steps_per_chunk = args.n_envs * args.chunk
     n_chunks = max(1, int((args.env_steps - steps_done) // steps_per_chunk))
@@ -157,16 +178,17 @@ def main(argv=None):
             jax.block_until_ready(state.obs)
         tput = throughput.tick()
         summary, state = trainer.drain_stats(state)
-        logger.record_summary(summary, episode_base, time.time() - t0)
-        episode_base += summary["episodes"]
-        print(json.dumps({
-            "chunk": chunk,
-            "env_steps": steps_done + (chunk + 1) * steps_per_chunk,
-            "sps": round(tput["sps"], 1),
-            "sps_ema": round(tput["sps_ema"], 1),
-            **{k: (round(v, 4) if isinstance(v, float) else v)
-               for k, v in summary.items()},
-        }), flush=True)
+        if is_main:
+            logger.record_summary(summary, episode_base, time.time() - t0)
+            episode_base += summary["episodes"]
+            print(json.dumps({
+                "chunk": chunk,
+                "env_steps": steps_done + (chunk + 1) * steps_per_chunk,
+                "sps": round(tput["sps"], 1),
+                "sps_ema": round(tput["sps_ema"], 1),
+                **{k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in summary.items()},
+            }), flush=True)
         if hasattr(trainer.agent, "decay_epsilon"):
             # reference decays epsilon once per episode
             # (start_dqn_training.py:125-127); here once per chunk

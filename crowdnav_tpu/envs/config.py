@@ -186,6 +186,12 @@ class EnvConfig:
     # ABLATION_PRESETS.
     state_variant: str = "full"
 
+    # --- lidar compute backend ---
+    # "xla": the fused broadcast/reduce raycast (ops/lidar.py) under vmap;
+    # "pallas": the hand-tiled VMEM kernel (ops/lidar_pallas.py) via the
+    # batched step path (CrowdEnv.step_batch). Numerics identical.
+    lidar_backend: str = "xla"
+
     # --- perceived risk (environment_stage_1_nobonus.py) ---
     k_obstacles: int = 8          # top-K CP slots in the state (:55)
     max_segments: int = 32        # fixed-shape cap on lidar segments

@@ -264,6 +264,51 @@ class CrowdEnv:
                           sel(0.0, reward).astype(jnp.float32),
                           sel(False, done))
 
+    def step_batch(self, states: EnvState, actions: jax.Array) -> StepOutput:
+        """Batched step over a leading env axis, with the lidar computed at
+        the batch level so the Pallas kernel (`ops/lidar_pallas.py`) can own
+        the whole (N, beams) tile. ``lidar_backend="xla"`` falls back to the
+        plain vmapped ``step`` (identical numerics either way — the kernel
+        and the XLA raycast agree to float tolerance, `tests/
+        test_lidar_pallas.py`). The runtime uses this path when present."""
+        cfg = self.cfg
+        if cfg.lidar_backend != "pallas":
+            return jax.vmap(self.step)(states, actions)
+
+        from crowdnav_tpu.ops.lidar_pallas import scan_batch_pallas
+
+        was_done = states.done
+        s = jax.vmap(lambda st, a: world_step(cfg, st, a))(states, actions)
+        scans = scan_batch_pallas(s.pos, s.yaw, s.ped_pos, cfg.ped_radius,
+                                  cfg.room_half_inner, cfg.max_scan_range,
+                                  cfg.lidar_min_range, cfg.n_scans)
+
+        def one(st, sc):
+            st2, obs, (dtg, htg), done, at_goal = _observe(
+                cfg, st, compute_cp=jnp.ones((), bool), scans=sc)
+            reward, st2 = _reward(cfg, st2, dtg, htg, done, at_goal)
+            return st2, obs, reward, done
+
+        s2, obs, reward, done = jax.vmap(one)(s, scans)
+
+        tmpl_state, tmpl_obs = self._template
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(states.key)
+        n = was_done.shape[0]
+        reset_state = jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a), (n,) + jnp.shape(a)),
+            tmpl_state).replace(key=keys)
+
+        def sel(a, b):
+            m = was_done.reshape(was_done.shape + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b)
+
+        new_state = jax.tree.map(sel, reset_state, s2)
+        obs = sel(jnp.broadcast_to(jnp.asarray(tmpl_obs),
+                                   (n,) + jnp.shape(tmpl_obs)), obs)
+        return StepOutput(new_state, obs,
+                          jnp.where(was_done, 0.0, reward).astype(jnp.float32),
+                          jnp.where(was_done, False, done))
+
     def observe_external(self, state: EnvState, scans: jax.Array,
                          pos: jax.Array, yaw: jax.Array):
         """Hardware-deployment observation: run the perception pipeline on a

@@ -71,8 +71,13 @@ def _raycast_kernel(pos_ref, yaw_ref, ped_ref, out_ref, *, n_peds,
                                              "max_range", "min_range",
                                              "n_scans", "interpret"))
 def scan_batch_pallas(pos, yaw, ped_pos, ped_radius, room_half, max_range,
-                      min_range, n_scans=359, interpret=False):
-    """(N,2), (N,), (N,P,2) -> (N, n_scans) observation-order scans."""
+                      min_range, n_scans=359, interpret=None):
+    """(N,2), (N,), (N,P,2) -> (N, n_scans) observation-order scans.
+
+    ``interpret=None`` resolves to True on CPU (so the same call sites run
+    under tests) and False on TPU (the real Mosaic kernel)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n = pos.shape[0]
     n_peds = ped_pos.shape[1] if ped_pos.ndim == 3 else 0
     if n_peds == 0:

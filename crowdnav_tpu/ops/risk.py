@@ -309,12 +309,36 @@ def collision_probabilities(cfg: EnvConfig, tracks: TrackState,
     return cp, ego
 
 
+def select_top_k(cfg: EnvConfig, tracks: TrackState, cp, live, robot_pos):
+    """Stage 8: CP-ranked top-K slot selection + robot-pose padding
+    (:878-905). Returns (top_cp (K,), top_pose_vel (K, 4)).
+
+    Default keeps the K *highest*-CP tracks; ``strict_quirks`` reproduces
+    the reference's ``sorted(desc)[-K:]`` slice, which keeps the LOWEST K
+    whenever more than K tracks exist (:882-883)."""
+    K = cfg.k_obstacles
+    if cfg.strict_quirks:
+        n_valid = jnp.sum(tracks.valid.astype(jnp.int32))
+        overflow = n_valid > K
+        score = jnp.where(tracks.valid,
+                          jnp.where(overflow, -cp, cp), -jnp.inf)
+    else:
+        score = jnp.where(tracks.valid, cp, -jnp.inf)
+    top_cp, top_idx = jax.lax.top_k(score, K)
+    picked_valid = live & jnp.isfinite(top_cp)
+    top_cp = jnp.where(picked_valid, cp[top_idx], 0.0)
+    pad = jnp.concatenate([robot_pos, jnp.zeros(2, robot_pos.dtype)])
+    entries = jnp.concatenate([tracks.pos[top_idx],
+                               tracks.vel[top_idx]], axis=-1)
+    top_pose_vel = jnp.where(picked_valid[:, None], entries, pad[None, :])
+    return top_cp, top_pose_vel
+
+
 def perceive(cfg: EnvConfig, scans, points, tracks: TrackState,
              robot_pos, robot_prev_pos, compute_cp=True) -> RiskOutput:
     """Full pipeline for one env. ``compute_cp=False`` reproduces the reset
     path where the agent pose deque has a single entry and the CP block is
     skipped (:769)."""
-    K = cfg.k_obstacles
     segs = segment_scans(cfg, scans, points)
     new_tracks = update_tracks(cfg, tracks, segs)
 
@@ -327,22 +351,7 @@ def perceive(cfg: EnvConfig, scans, points, tracks: TrackState,
     any_track = jnp.any(new_tracks.valid)
     live = compute_cp & any_track
 
-    if cfg.strict_quirks:
-        # sorted(desc)[-K:] keeps the LOWEST K when there are more than K
-        # tracks (:882-883); emulate via top_k on negated score among valid.
-        n_valid = jnp.sum(new_tracks.valid.astype(jnp.int32))
-        overflow = n_valid > K
-        score = jnp.where(new_tracks.valid,
-                          jnp.where(overflow, -cp, cp), -jnp.inf)
-    else:
-        score = jnp.where(new_tracks.valid, cp, -jnp.inf)
-    top_cp, top_idx = jax.lax.top_k(score, K)
-    picked_valid = live & jnp.isfinite(top_cp)
-    top_cp = jnp.where(picked_valid, cp[top_idx], 0.0)
-    pad = jnp.concatenate([robot_pos, jnp.zeros(2, robot_pos.dtype)])
-    entries = jnp.concatenate([new_tracks.pos[top_idx],
-                               new_tracks.vel[top_idx]], axis=-1)
-    top_pose_vel = jnp.where(picked_valid[:, None], entries, pad[None, :])
+    top_cp, top_pose_vel = select_top_k(cfg, new_tracks, cp, live, robot_pos)
     # within the picked set the reference reports the max CP (:885)
     cp_max = jnp.where(live, jnp.max(top_cp), 0.0)
     ego_cp = jnp.where(live, jnp.max(jnp.where(new_tracks.valid, ego, 0.0)),

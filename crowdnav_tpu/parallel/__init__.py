@@ -9,3 +9,8 @@ from crowdnav_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     ShardedTrainer,
 )
+from crowdnav_tpu.parallel.distributed import (  # noqa: F401
+    init_multihost,
+    distribute,
+    process_summary,
+)

@@ -82,6 +82,11 @@ class ShardedTrainer(Trainer):
     def init(self, key: jax.Array) -> TrainerState:
         state = super().init(key)
         shardings = _trainer_shardings(state, self.mesh, self.tcfg.n_envs)
+        if jax.process_count() > 1:
+            # multi-controller: every process built the same host-local
+            # state (same seed); materialize only the addressable shards
+            from crowdnav_tpu.parallel.distributed import distribute
+            return distribute(state, shardings)
         return jax.device_put(state, shardings)
 
     def make_jitted(self):

@@ -147,6 +147,9 @@ class Trainer:
         was_done = state.env_states.done  # (N,) -> next step is a reset step
         if self.discrete:
             out = jax.vmap(self.env.step_discrete)(state.env_states, actions)
+        elif hasattr(self.env, "step_batch"):
+            # batch-level step so the lidar backend can tile over envs
+            out = self.env.step_batch(state.env_states, actions)
         else:
             out = jax.vmap(self.env.step)(state.env_states, actions)
 

@@ -13,17 +13,22 @@ from crowdnav_tpu.envs import CrowdEnv, make_config
 from crowdnav_tpu.parity import NumpyCrowdEnv
 
 
-def _run_pair(cfg, actions):
+def _run_pair(cfg, actions, ped_vel=None):
+    """Drive both engines with identical actions. ``ped_vel``: None = static
+    crowd; an (P, 2) array = constant crowd velocity fed to the oracle while
+    the JAX env derives the *same* velocity from its behavior table (the
+    shared schedule of SURVEY.md §7 hard-part 2)."""
     jenv = CrowdEnv(cfg)
     nenv = NumpyCrowdEnv(cfg)
     jstate, jobs = jenv.reset(jax.random.PRNGKey(0))
     nobs = nenv.reset()
     step = jax.jit(jenv.step)
+    vel = np.zeros_like(nenv.ped) if ped_vel is None else np.asarray(ped_vel)
     traj = [(np.asarray(jobs), nobs, 0.0, 0.0, False, False)]
     for a in actions:
         out = step(jstate, jnp.asarray(a, jnp.float32))
         jstate = out.state
-        nobs, nrew, ndone = nenv.step(a, ped_vel=np.zeros_like(nenv.ped))
+        nobs, nrew, ndone = nenv.step(a, ped_vel=vel)
         traj.append((np.asarray(out.obs), nobs, float(out.reward), nrew,
                      bool(out.done), ndone))
         if bool(out.done) or ndone:
@@ -88,6 +93,75 @@ def test_parity_topk_positions_static_scene():
     jd = np.linalg.norm(jtail[:, :2] - target, axis=-1).min()
     nd = np.linalg.norm(ntail[:, :2] - target, axis=-1).min()
     assert jd < 0.1 and nd < 0.1, (jtail[:2], ntail[:2])
+
+
+def test_parity_moving_crowd_scans():
+    """Full-trajectory parity in a MOVING scene: the crossing direction
+    table drives the JAX crowd; the oracle gets the identical constant
+    velocities (`simulate_crossing_4.py:88-92` pattern). Scans, pose, goal
+    features, rewards and termination must track step-by-step while the
+    obstacles translate through the field of view
+    (`environment_stage_1_nobonus.py:745-860` moving-obstacle semantics)."""
+    cfg = make_config("crowd_none", "crossing", n_peds=4,
+                      ped_init=((0.30, -0.75), (0.35, -0.40),
+                                (-0.20, -0.90), (0.10, -1.10)),
+                      max_steps=60)
+    table = np.array(cfg.direction_table(), float) * cfg.crowd_speed
+    actions = [(0.05, 0.0)] * 25
+    traj = _run_pair(cfg, actions, ped_vel=table)
+    assert len(traj) > 10
+    _check(traj)
+
+
+def test_parity_moving_crowd_velocity_estimation():
+    """Track-velocity cross-check under motion: both engines must estimate
+    the moving obstacle's velocity in the top-K block (reference velocity
+    estimation `:745-761`, stored as (prev-curr)/dt `:806-810`). The
+    stationary-scene suite leaves these terms trivially zero; this pins the
+    moving half of the pipeline against the oracle."""
+    cfg = make_config("crowd_none", "crossing", n_peds=1,
+                      ped_init=((0.30, -0.60),), max_steps=60)
+    table = np.array(cfg.direction_table(), float) * cfg.crowd_speed
+    # crossing table slot 0 = (1, 1) * 0.1 m/s
+    assert np.linalg.norm(table[0]) > 0
+    traj = _run_pair(cfg, [(0.03, 0.0)] * 14, ped_vel=table)
+    _check(traj)
+    k = cfg.k_obstacles
+    jo, no = traj[-1][0], traj[-1][1]
+    jtail = jo[-4 * k:].reshape(k, 4)
+    ntail = no[-4 * k:].reshape(k, 4)
+    # the tracked obstacle slot: nearest to the true ped end position
+    end = np.array([0.30, -0.60]) + table[0] * cfg.dt * (len(traj) - 1)
+    ji = np.linalg.norm(jtail[:, :2] - end, axis=-1).argmin()
+    ni = np.linalg.norm(ntail[:, :2] - end, axis=-1).argmin()
+    assert np.linalg.norm(jtail[ji, :2] - end) < 0.12
+    # velocity features: nonzero in both, matching each other (the sign
+    # convention is (prev-curr)/dt so the stored velocity is the negated
+    # motion; what matters is both engines agree)
+    assert np.linalg.norm(jtail[ji, 2:]) > 0.02, jtail[ji]
+    np.testing.assert_allclose(jtail[ji, 2:], ntail[ni, 2:], atol=0.06)
+    # magnitude in the ballpark of the true 0.1*sqrt(2) speed
+    assert 0.04 < np.linalg.norm(jtail[ji, 2:]) < 0.35
+
+
+def test_parity_moving_crowd_nonzero_cp():
+    """An obstacle crossing the robot's motion line must produce a nonzero
+    ego collision probability (TTC term with nonzero closing speed,
+    `utils.compute_collision_prob:317-323`) in the JAX engine, and the
+    ego-CP fed social-safety accounting must move."""
+    cfg = make_config("crowd_none", "towards", n_peds=1,
+                      ped_init=((-0.20, -0.75),), max_steps=60)
+    jenv = CrowdEnv(cfg)
+    state, obs = jenv.reset(jax.random.PRNGKey(0))
+    step = jax.jit(jenv.step)
+    max_cp = 0.0
+    for _ in range(20):
+        out = step(state, jnp.asarray((0.10, 0.0), jnp.float32))
+        state = out.state
+        max_cp = max(max_cp, float(state.ego_cp))
+        if bool(out.done):
+            break
+    assert max_cp > 0.0, "ego CP never fired in a head-on moving scene"
 
 
 def test_parity_collision_termination():
