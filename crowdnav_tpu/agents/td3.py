@@ -51,6 +51,12 @@ class TD3Config:
     explore_sigma: float = 1.0
     explore_sigma_min: float = 1.0
     explore_decay_steps: int = 1_000_000
+    # epsilon-uniform action mixing (not in the reference): with this
+    # probability per env-step the behavior action is drawn uniformly from
+    # the action box. Off-policy TD3 tolerates it, and it guarantees state
+    # coverage (goal discovery) that pure policy+Gaussian exploration can
+    # lose when the actor saturates (e.g. the stop-and-spin collapse).
+    explore_uniform_eps: float = 0.0
 
 
 @struct.dataclass
@@ -107,11 +113,20 @@ class TD3:
         """Batched policy (+ exploration noise, clipped to the action box —
         `td3.py:196-223`)."""
         action = self.actor.apply(state.actor_params, obs)
-        if explore and key is not None:
-            noise = jax.random.normal(key, action.shape) * state.explore_sigma
-            action = action + noise
         lo = jnp.array([0.0, -self.cfg.max_ang_vel])
         hi = jnp.array([self.cfg.max_lin_vel, self.cfg.max_ang_vel])
+        if explore and key is not None:
+            k_noise, k_eps, k_unif = jax.random.split(key, 3)
+            noise = jax.random.normal(k_noise,
+                                      action.shape) * state.explore_sigma
+            action = action + noise
+            if self.cfg.explore_uniform_eps > 0.0:
+                unif = jax.random.uniform(k_unif, action.shape,
+                                          minval=lo, maxval=hi)
+                pick = jax.random.bernoulli(
+                    k_eps, self.cfg.explore_uniform_eps,
+                    action.shape[:-1] + (1,))
+                action = jnp.where(pick, unif, action)
         return jnp.clip(action, lo, hi)
 
     def update(self, state: TD3State, batch, key: jax.Array):

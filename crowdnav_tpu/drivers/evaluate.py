@@ -15,9 +15,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/crowdnav_jax_cache")
+
 import jax
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from crowdnav_tpu.drivers.train import RISK_ENV_ALGOS, _build_agent
 from crowdnav_tpu.envs import CrowdEnv, SimpleEnv, make_config

@@ -21,9 +21,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/crowdnav_jax_cache")
+
 import jax
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from crowdnav_tpu.agents import (DDPG, DDPGConfig, DQN, DQNConfig, SAC,
                                  SACConfig, TD3, TD3Config)
@@ -43,8 +48,10 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
     if algo == "td3":
         kw = {}
         if args is not None and args.sigma_min is not None:
-            kw = dict(explore_sigma_min=args.sigma_min,
+            kw.update(explore_sigma_min=args.sigma_min,
                       explore_decay_steps=int(args.sigma_decay_steps))
+        if args is not None and getattr(args, "explore_eps", None):
+            kw.update(explore_uniform_eps=args.explore_eps)
         return TD3(TD3Config(**kw), obs_dim), False
     if algo == "ddpg":
         return DDPG(DDPGConfig(), obs_dim, n_envs=n_envs), False
@@ -120,6 +127,10 @@ def main(argv=None):
                         "(reference ships constant 1.0)")
     p.add_argument("--sigma-decay-steps", type=float, default=1e6,
                    help="env-steps over which sigma anneals")
+    p.add_argument("--explore-eps", type=float, default=0.0,
+                   help="epsilon-uniform action mixing for TD3 behavior "
+                        "policy (coverage guarantee; 0 = reference-parity "
+                        "Gaussian-only)")
     p.add_argument("--outdir", default="results")
     p.add_argument("--ckpt-every-chunks", type=int, default=50)
     p.add_argument("--resume", action="store_true",
@@ -154,7 +165,10 @@ def main(argv=None):
         init_multihost(args.coordinator, args.num_processes, args.process_id)
         print(json.dumps(process_summary()), flush=True)
     trainer = build(args)
+    t_init = time.time()
     state = trainer.init(jax.random.PRNGKey(args.seed))
+    print(json.dumps({"event": "initialized",
+                      "secs": round(time.time() - t_init, 1)}), flush=True)
     steps_done = 0
     if args.resume:
         state, steps_done = restore_checkpoint(

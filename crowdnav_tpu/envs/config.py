@@ -216,6 +216,14 @@ class EnvConfig:
     # semantics (documented per-site).
     strict_quirks: bool = False
 
+    # Cross-episode statefulness quirk (SURVEY.md §7 hard-part 3): the
+    # reference's `reset` does NOT clear the obstacle tracker dict or the
+    # waypoint — both survive into the next episode
+    # (`environment_stage_1_nobonus.py:1227-1263` clears only counters).
+    # False (default) = reset-clean; True = carry tracker + waypoint
+    # through auto-resets per env, like the reference.
+    persist_tracks_across_reset: bool = False
+
     @property
     def n_scans(self) -> int:
         """Observation scan count: the last beam duplicates the first and is

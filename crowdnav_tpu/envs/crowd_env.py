@@ -163,35 +163,44 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
 def _reward(cfg: EnvConfig, state: EnvState, dtg, htg, done, at_goal):
     """`compute_reward:1046-1162` with the waypoint bonus and re-waypointing.
 
-    Waypoint-arrival test: the reference uses the +-0.2 box
-    (`is_in_desired_position:1285-1301`) against a waypoint that re-projects
-    to exactly 0.3 m ahead on progress. In deterministic kinematics that
-    combination is degenerate: along a diagonal approach (this task's
-    start->goal bearing is exactly 135 deg) the box passes at 0.267 m while
-    the rounded-distance refresh comparison ties, so the +200 fires on ~4 of
-    5 steps forever — an infinite reward farm that teaches the agent to
-    *avoid* the goal (ending the episode ends the farm). Gazebo's physics
-    jitter hides this corner in the reference (its converged mean reward is
-    ~-21, so bonuses are rare there). Intended semantics (default): Euclidean
-    arrival test, dist <= goal_eps < 0.283 — unreachable while the waypoint
-    re-projects ahead, so the bonus fires only once the waypoint has snapped
-    onto the true goal. ``strict_quirks=True`` keeps the reference's box."""
+    Waypoint-bonus semantics. The reference's literal mechanic — +-0.2 box
+    arrival test (`is_in_desired_position:1285-1301`) against a waypoint
+    that re-projects to exactly 0.3 m ahead on progress (`:259-265`) — is
+    numerically degenerate in deterministic kinematics: along a diagonal
+    approach (this task's start->goal bearing is exactly 135 deg) the box
+    passes at 0.267 m while the rounded-distance refresh ties, so the +200
+    fires on ~4 of 5 steps forever — an infinite farm that taught the
+    round-1 agent to *avoid* the goal (+1,100/ep, 0 successes). With any
+    arrival test the progress-triggered re-projection also means the bonus
+    essentially never fires on clean numerics (the waypoint stays 0.3 m
+    ahead), deleting the breadcrumb +200 trail whose occasional firing
+    under Gazebo jitter is what seeds the reference critic's goal signal.
+
+    Default (intended) semantics — a farm-proof *milestone* trail with the
+    same economics: +200 ("Reached waypoint position!!", `:1110-1127`) each
+    time the robot's true-goal distance improves past its previous best by
+    one waypoint radius (0.3 m), i.e. each time the next local waypoint on
+    the trail is genuinely consumed. Oscillating or retreating re-covers
+    old ground (distance > best) and pays nothing. ``strict_quirks=True``
+    restores the reference's literal box test."""
     goal = jnp.array(cfg.goal, jnp.float32)
     dd = dtg - state.prev_distance
     dtg_r = jnp.where(dd < 0, cfg.dtg_reward, 0.0)
     htg_r = _htg_reward(htg, state.prev_heading) * cfg.htg_reward
 
+    best = state.best_goal_dist
     if cfg.use_waypoints:
-        if cfg.strict_quirks:
-            at_waypoint = _goal_box(state.pos, state.waypoint, cfg.goal_eps)
-        else:
-            at_waypoint = (jnp.linalg.norm(state.pos - state.waypoint)
-                           <= cfg.goal_eps)
-        wp_r = jnp.where(at_waypoint, cfg.waypoint_reward, 0.0)
         new_wp = geom.waypoint_on_circle(state.pos, goal,
                                          cfg.waypoint_radius)
         new_wp = jnp.where(_goal_box(new_wp, goal, cfg.goal_eps), goal,
                            new_wp)
+        if cfg.strict_quirks:
+            at_waypoint = _goal_box(state.pos, state.waypoint, cfg.goal_eps)
+        else:
+            goal_dist = jnp.linalg.norm(state.pos - goal)
+            at_waypoint = goal_dist <= best - cfg.waypoint_radius
+            best = jnp.where(at_waypoint, goal_dist, best)
+        wp_r = jnp.where(at_waypoint, cfg.waypoint_reward, 0.0)
         waypoint = jnp.where(at_waypoint, new_wp, state.waypoint)
     else:
         wp_r = 0.0
@@ -204,6 +213,7 @@ def _reward(cfg: EnvConfig, state: EnvState, dtg, htg, done, at_goal):
 
     return reward, state.replace(
         waypoint=waypoint, prev_distance=dtg, prev_heading=htg,
+        best_goal_dist=best,
         dtg_reward_count=state.dtg_reward_count + (dd < 0).astype(jnp.int32),
         htg_reward_count=state.htg_reward_count + (htg_r > 0).astype(jnp.int32),
         wp_bonus_count=state.wp_bonus_count + at_waypoint.astype(jnp.int32))
@@ -223,8 +233,11 @@ class CrowdEnv:
         # auto-reset be a cheap select instead of a second full perception
         # pass in the vmapped cond (which lowers to select = both branches).
         import numpy as _np
-        st, obs = self.reset(jax.random.PRNGKey(0))
-        self._template = jax.tree.map(_np.asarray, (st, obs))
+        # jitted: the eager reset is hundreds of tiny dispatches, which is
+        # minutes of latency on remote/tunneled backends
+        st, obs = jax.jit(self.reset)(jax.random.PRNGKey(0))
+        self._template = jax.tree.map(_np.asarray,
+                                      jax.device_get((st, obs)))
 
     def reset(self, key: jax.Array) -> tuple[EnvState, jax.Array]:
         """Fresh episode. The CP block is skipped on the reset observation
@@ -257,6 +270,12 @@ class CrowdEnv:
         tmpl_state, tmpl_obs = self._template
         key = jax.random.fold_in(state.key, 1)
         reset_state = jax.tree.map(jnp.asarray, tmpl_state).replace(key=key)
+        if cfg.persist_tracks_across_reset:
+            # reference reset keeps the tracker dict + waypoint
+            # (environment_stage_1_nobonus.py:1227-1263) — carry the
+            # terminal episode's into the fresh one
+            reset_state = reset_state.replace(tracks=state.tracks,
+                                              waypoint=state.waypoint)
         sel = lambda a, b: jnp.where(was_done, a, b)
         new_state = jax.tree.map(sel, reset_state, s)
         return StepOutput(new_state,
@@ -297,6 +316,9 @@ class CrowdEnv:
         reset_state = jax.tree.map(
             lambda a: jnp.broadcast_to(jnp.asarray(a), (n,) + jnp.shape(a)),
             tmpl_state).replace(key=keys)
+        if cfg.persist_tracks_across_reset:
+            reset_state = reset_state.replace(tracks=states.tracks,
+                                              waypoint=states.waypoint)
 
         def sel(a, b):
             m = was_done.reshape(was_done.shape + (1,) * (a.ndim - 1))

@@ -45,10 +45,12 @@ class SimpleEnv:
         self.obs_dim = cfg.state_dim_simple
         self.action_dim = 2
         self.n_discrete_actions = 3
-        # deterministic reset template (see CrowdEnv.__init__)
+        # deterministic reset template (see CrowdEnv.__init__); jitted —
+        # eager resets are hundreds of dispatches on remote backends
         import numpy as _np
-        st, obs = self.reset(jax.random.PRNGKey(0))
-        self._template = jax.tree.map(_np.asarray, (st, obs))
+        st, obs = jax.jit(self.reset)(jax.random.PRNGKey(0))
+        self._template = jax.tree.map(_np.asarray,
+                                      jax.device_get((st, obs)))
 
     def _observe(self, state: EnvState):
         cfg = self.cfg

@@ -58,6 +58,8 @@ class EnvState:
     waypoint: jax.Array     # (2,) local goal (:80-83)
     prev_distance: jax.Array  # () distance-to-waypoint at previous step
     prev_heading: jax.Array   # () heading-to-waypoint at previous step
+    best_goal_dist: jax.Array  # () closest true-goal distance paid out so
+                               # far (waypoint milestone accounting)
     # tracker
     tracks: TrackState
     # bookkeeping
@@ -147,6 +149,7 @@ def init_state(cfg: EnvConfig, key: jax.Array) -> EnvState:
         lin_vel=jnp.zeros((), f32),
         ang_vel=jnp.zeros((), f32),
         prev_pos=pos,
+        best_goal_dist=d0.astype(f32),
         ped_pos=ped_init,
         ped_vel=jnp.zeros((n_p, 2), f32),
         ped_dirs=dirs,

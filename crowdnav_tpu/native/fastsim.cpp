@@ -156,3 +156,191 @@ int32_t fastsim_rollout(const Config* cfg, State* st, const float* actions,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched multi-env core (SoA layout, OpenMP over envs).
+//
+// The host-side counterpart of the vmapped TPU engine
+// (crowdnav_tpu/envs/world.py + ops/lidar.py): N independent envs step in
+// one call — diff-drive integration, crowd behavior (static / random-
+// redraw / fixed direction tables, matching crowd_behaviors/simulate_*.py
+// semantics), raycast, termination, and jittered auto-reset. RANDOM crowd
+// draws use a per-env xorshift64* stream: behaviorally equivalent to the
+// JAX engine's threefry draws, deliberately NOT bit-matching (parity tests
+// drive both engines with explicit velocities instead).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint64_t xorshift64s(uint64_t* s) {
+  uint64_t x = *s;
+  x ^= x >> 12;
+  x ^= x << 25;
+  x ^= x >> 27;
+  *s = x;
+  return x * 0x2545F4914F6CDD1DULL;
+}
+
+inline float uniform_pm(uint64_t* s, float mag) {  // uniform in [-mag, mag)
+  return (static_cast<float>(xorshift64s(s) >> 40) /
+              static_cast<float>(1 << 24) * 2.0f - 1.0f) * mag;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct BatchConfig {
+  Config base;
+  int32_t n_envs;
+  int32_t behavior;       // 0 static, 1 random, 2 fixed table
+  float crowd_speed;
+  int32_t redraw_window;  // env-steps between velocity redraws
+  float start_x, start_y, start_yaw;
+  float start_pos_jitter; // auto-reset randomization (0 = deterministic)
+  float start_yaw_jitter;
+  float ped_pos_jitter;
+  const float* ped_init;  // (P, 2) spawn table
+  const float* ped_dirs;  // (P, 2) direction table (behavior 2)
+};
+
+// Reset env i of the SoA batch (jittered from its RNG stream).
+static void reset_env(const BatchConfig* bc, int i, float* x, float* y,
+                      float* yaw, float* px, float* py, int32_t* step,
+                      int32_t* done, float* peds, float* ped_vel,
+                      uint64_t* rng) {
+  const Config* c = &bc->base;
+  uint64_t* r = rng + i;
+  float sx = bc->start_x, sy = bc->start_y, syaw = bc->start_yaw;
+  if (bc->start_pos_jitter > 0) {
+    sx += uniform_pm(r, bc->start_pos_jitter);
+    sy += uniform_pm(r, bc->start_pos_jitter);
+    const float lim = c->room_half_inner - c->robot_radius;
+    sx = std::min(std::max(sx, -lim), lim);
+    sy = std::min(std::max(sy, -lim), lim);
+  }
+  if (bc->start_yaw_jitter > 0)
+    syaw = wrap_pi(syaw + uniform_pm(r, bc->start_yaw_jitter));
+  x[i] = sx; y[i] = sy; yaw[i] = syaw; px[i] = sx; py[i] = sy;
+  step[i] = 0; done[i] = 0;
+  const float plim = c->room_half_inner - c->ped_radius;
+  for (int p = 0; p < c->n_peds; ++p) {
+    float ppx = bc->ped_init[2 * p], ppy = bc->ped_init[2 * p + 1];
+    if (bc->ped_pos_jitter > 0) {
+      ppx += uniform_pm(r, bc->ped_pos_jitter);
+      ppy += uniform_pm(r, bc->ped_pos_jitter);
+      ppx = std::min(std::max(ppx, -plim), plim);
+      ppy = std::min(std::max(ppy, -plim), plim);
+    }
+    peds[(static_cast<int64_t>(i) * c->n_peds + p) * 2] = ppx;
+    peds[(static_cast<int64_t>(i) * c->n_peds + p) * 2 + 1] = ppy;
+    ped_vel[(static_cast<int64_t>(i) * c->n_peds + p) * 2] = 0.0f;
+    ped_vel[(static_cast<int64_t>(i) * c->n_peds + p) * 2 + 1] = 0.0f;
+  }
+}
+
+void fastsim_reset_batch(const BatchConfig* bc, float* x, float* y,
+                         float* yaw, float* px, float* py, int32_t* step,
+                         int32_t* done, float* peds, float* ped_vel,
+                         uint64_t* rng) {
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < bc->n_envs; ++i)
+    reset_env(bc, i, x, y, yaw, px, py, step, done, peds, ped_vel, rng);
+}
+
+// One batched transition: auto-reset done envs, integrate robot + crowd,
+// raycast, set termination codes. actions: (N, 2); scans_out: (N, n_scans).
+void fastsim_step_batch(const BatchConfig* bc, float* x, float* y,
+                        float* yaw, float* px, float* py, int32_t* step,
+                        int32_t* done, float* peds, float* ped_vel,
+                        uint64_t* rng, const float* actions,
+                        float* scans_out) {
+  const Config* c = &bc->base;
+  const int S = c->n_scans;
+  const int P = c->n_peds;
+  const float deg = static_cast<float>(M_PI) / 180.0f;
+  const float r2 = c->ped_radius * c->ped_radius;
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < bc->n_envs; ++i) {
+    if (done[i]) {
+      reset_env(bc, i, x, y, yaw, px, py, step, done, peds, ped_vel, rng);
+    }
+    // robot integration (turtlebot3_fake.cpp:123-179 math)
+    const float lin = actions[2 * i], ang = actions[2 * i + 1];
+    const float vl = lin - ang * c->wheel_separation * 0.5f;
+    const float vr = lin + ang * c->wheel_separation * 0.5f;
+    const float wl = vl / c->wheel_radius * c->dt;
+    const float wr = vr / c->wheel_radius * c->dt;
+    const float ds = c->wheel_radius * (wr + wl) * 0.5f;
+    const float dth = c->wheel_radius * (wr - wl) / c->wheel_separation;
+    const float mid = yaw[i] + dth * 0.5f;
+    px[i] = x[i]; py[i] = y[i];
+    x[i] += ds * std::cos(mid);
+    y[i] += ds * std::sin(mid);
+    const float rlim = c->room_half_inner - c->robot_radius;
+    x[i] = std::min(std::max(x[i], -rlim), rlim);
+    y[i] = std::min(std::max(y[i], -rlim), rlim);
+    yaw[i] = wrap_pi(yaw[i] + dth);
+
+    // crowd behavior (crowd_behaviors/simulate_*.py families)
+    float* pp = peds + static_cast<int64_t>(i) * P * 2;
+    float* pv = ped_vel + static_cast<int64_t>(i) * P * 2;
+    const bool redraw =
+        bc->redraw_window > 0 && (step[i] % bc->redraw_window) == 0;
+    if (redraw) {
+      if (bc->behavior == 1) {           // RANDOM: fresh uniform draw
+        for (int p = 0; p < 2 * P; ++p)
+          pv[p] = uniform_pm(rng + i, bc->crowd_speed);
+      } else if (bc->behavior == 2) {    // fixed direction table
+        for (int p = 0; p < 2 * P; ++p)
+          pv[p] = bc->ped_dirs[p] * bc->crowd_speed;
+      }
+    }
+    const float plim = c->room_half_inner - c->ped_radius;
+    for (int p = 0; p < P; ++p) {
+      pp[2 * p] = std::min(std::max(pp[2 * p] + pv[2 * p] * c->dt, -plim),
+                           plim);
+      pp[2 * p + 1] = std::min(
+          std::max(pp[2 * p + 1] + pv[2 * p + 1] * c->dt, -plim), plim);
+    }
+    step[i] += 1;
+
+    // raycast
+    float* out = scans_out + static_cast<int64_t>(i) * S;
+    float min_scan = 1e9f;
+    for (int s = 0; s < S; ++s) {
+      const float a = yaw[i] - static_cast<float>(s) * deg;
+      const float dx = std::cos(a), dy = std::sin(a);
+      const float tx = (dx != 0.0f)
+          ? ((dx > 0 ? c->room_half_inner : -c->room_half_inner) - x[i]) / dx
+          : 1e9f;
+      const float ty = (dy != 0.0f)
+          ? ((dy > 0 ? c->room_half_inner : -c->room_half_inner) - y[i]) / dy
+          : 1e9f;
+      float t = std::min(tx, ty);
+      for (int p = 0; p < P; ++p) {
+        const float rx = pp[2 * p] - x[i];
+        const float ry = pp[2 * p + 1] - y[i];
+        const float b = rx * dx + ry * dy;
+        const float disc = r2 - (rx * rx + ry * ry - b * b);
+        if (disc >= 0.0f) {
+          const float th = b - std::sqrt(disc);
+          if (th >= 0.0f && th < t) t = th;
+        }
+      }
+      t = std::min(std::max(t, c->lidar_min_range), c->max_scan_range);
+      out[s] = t;
+      min_scan = std::min(min_scan, t);
+    }
+
+    // termination
+    const bool at_goal = std::fabs(x[i] - c->goal_x) <= c->goal_eps &&
+                         std::fabs(y[i] - c->goal_y) <= c->goal_eps;
+    if (at_goal) done[i] = 1;
+    else if (c->min_scan_range > 0.0f && min_scan < c->min_scan_range)
+      done[i] = 2;
+    else if (step[i] >= c->max_steps) done[i] = 3;
+  }
+}
+
+}  // extern "C"

@@ -64,6 +64,8 @@ def _trainer_shardings(trainer_state: TrainerState, mesh: Mesh,
         key=replicated,
         reset_bank=None if trainer_state.reset_bank is None
         else jax.tree.map(lambda _: replicated, trainer_state.reset_bank),
+        learn_metrics=None if trainer_state.learn_metrics is None
+        else jax.tree.map(lambda _: replicated, trainer_state.learn_metrics),
     )
 
 

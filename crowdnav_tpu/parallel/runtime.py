@@ -88,6 +88,9 @@ class TrainerState:
     key: jax.Array
     reset_bank: Any = None  # (bank_states, bank_obs) with leading axis B,
                             # or None — see TrainerConfig.reset_bank
+    learn_metrics: Any = None  # agent's last update metrics dict (zeros
+                               # until the learner first runs); None when
+                               # learning is disabled
 
 
 class Trainer:
@@ -112,23 +115,48 @@ class Trainer:
     def init(self, key: jax.Array) -> TrainerState:
         k_env, k_agent, k_loop, k_bank = jax.random.split(key, 4)
         env_keys = jax.random.split(k_env, self.tcfg.n_envs)
-        env_states, obs = jax.vmap(self.env.reset)(env_keys)
+        # jit everything: eagerly-executed batched resets are hundreds of
+        # tiny dispatches — minutes of latency on remote/tunneled backends
+        batched_reset = jax.jit(jax.vmap(self.env.reset))
+        env_states, obs = batched_reset(env_keys)
         bank = None
         if self.tcfg.reset_bank:
             bank_keys = jax.random.split(k_bank, self.tcfg.reset_bank)
-            bank = jax.vmap(self.env.reset)(bank_keys)
-        ts = TrainerState(
-            env_states=env_states,
-            obs=obs,
-            agent_state=self.agent.init(k_agent),
+            bank = batched_reset(bank_keys)
+        agent_state = jax.jit(self.agent.init)(k_agent)
+        metrics = None
+        if self.tcfg.learning:
+            # zero-initialized metrics matching the agent's update() dict
+            # (shape-traced only — no buffer materialization, no compute)
+            bsz = self.agent.cfg.batch_size
+            f = jax.ShapeDtypeStruct
+            act = (f((bsz,), jnp.int32) if self.buffer.act_dim is None
+                   else f((bsz, self.buffer.act_dim), jnp.float32))
+            dummy = Transition(
+                obs=f((bsz, self.buffer.obs_dim), jnp.float32), action=act,
+                reward=f((bsz,), jnp.float32),
+                next_obs=f((bsz, self.buffer.obs_dim), jnp.float32),
+                done=f((bsz,), jnp.float32))
+            _, m = jax.eval_shape(self.agent.update, agent_state, dummy,
+                                  jax.ShapeDtypeStruct((2,), jnp.uint32))
+            metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m)
+        # reset() aliases some leaves (e.g. pos/prev_pos come out of the
+        # same eager buffer); donated jit args must not share buffers.
+        # Copy ONLY the env-state/bank subtrees (KBs) — a whole-tree copy
+        # would drag the multi-GB replay ring through the host transfer
+        # path on remote backends. jitted => fresh non-aliased output
+        # buffers in one dispatch.
+        fix = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+        return TrainerState(
+            env_states=fix(env_states),
+            obs=jnp.array(obs),
+            agent_state=agent_state,
             replay=self.buffer.init(),
             stats=init_stats(self.tcfg.n_envs),
             key=k_loop,
-            reset_bank=bank,
+            reset_bank=None if bank is None else fix(bank),
+            learn_metrics=metrics,
         )
-        # reset() aliases some leaves (e.g. pos/prev_pos come out of the
-        # same buffer); donated jit args must not share buffers — deep-copy
-        return jax.tree.map(jnp.array, ts)
 
     # ---- one fused env+learn step ----
     def _train_step(self, state: TrainerState, _):
@@ -213,7 +241,7 @@ class Trainer:
         )
 
         # learn
-        metrics = {}
+        learn_metrics = state.learn_metrics
         if tcfg.learning:
             def do_learn(carry):
                 agent_state, key = carry
@@ -228,18 +256,21 @@ class Trainer:
 
                 keys = jax.random.split(key, tcfg.updates_per_step)
                 agent_state, ms = jax.lax.scan(one, agent_state, keys)
-                return agent_state
+                last = jax.tree.map(lambda x: x[-1], ms)
+                return agent_state, last
 
             can_learn = replay.size >= tcfg.learn_start
-            agent_state = jax.lax.cond(
-                can_learn, do_learn, lambda c: c[0],
+            agent_state, learn_metrics = jax.lax.cond(
+                can_learn, do_learn,
+                lambda c: (c[0], state.learn_metrics),
                 (agent_state, k_update))
 
         new_state = TrainerState(env_states=new_env_states, obs=new_obs,
                                  agent_state=agent_state, replay=replay,
                                  stats=stats, key=key,
-                                 reset_bank=state.reset_bank)
-        return new_state, metrics
+                                 reset_bank=state.reset_bank,
+                                 learn_metrics=learn_metrics)
+        return new_state, {}
 
     def _safety(self, env_states):
         if hasattr(self.env, "safety_scores"):
@@ -280,6 +311,9 @@ class Trainer:
             "mean_htg_rewards": float(host[8]) / max(episodes, 1),
             "mean_wp_bonuses": float(host[9]) / max(episodes, 1),
         }
+        if state.learn_metrics is not None:
+            summary.update({k: float(v) for k, v in jax.device_get(
+                state.learn_metrics).items()})
         fresh = init_stats(self.tcfg.n_envs).replace(
             ep_reward=s.ep_reward, ep_steps=s.ep_steps)
         return summary, state.replace(stats=fresh)

@@ -62,6 +62,7 @@ class NumpyCrowdEnv:
         self.success = False
         d0 = float(np.linalg.norm(self.goal - [self.x, self.y]))
         self.prev_distance = d0
+        self.best_goal_dist = d0
         self.prev_heading = _wrap(math.atan2(self.goal[1] - self.y,
                                              self.goal[0] - self.x)
                                   - self.yaw)
@@ -349,8 +350,15 @@ class NumpyCrowdEnv:
             r += cfg.htg_reward
         elif hd < 0 and not (ch < 0 and ph < 0) and (ch != 0 and ph != 0):
             r += cfg.htg_reward
-        if self._in_box(self.waypoint):
+        # waypoint milestone (intended semantics, matching the JAX default:
+        # +200 per waypoint_radius of NET best-goal-distance improvement —
+        # see crowd_env._reward docstring for why the literal box test is
+        # degenerate under deterministic kinematics)
+        goal_dist = float(np.hypot(self.x - self.goal[0],
+                                   self.y - self.goal[1]))
+        if goal_dist <= self.best_goal_dist - cfg.waypoint_radius:
             r += cfg.waypoint_reward
+            self.best_goal_dist = goal_dist
             self.waypoint = self._waypoint()
             if self._in_box(self.goal, pos=self.waypoint):
                 self.waypoint = self.goal.copy()

@@ -21,7 +21,10 @@ import csv
 import math
 import os
 
+import jax.numpy as jnp
 import numpy as np
+
+from crowdnav_tpu.ops import geom
 
 
 def _mpl():
@@ -107,6 +110,18 @@ def render_frame(cfg, state, scans=None, cp=None, ax=None, title=None):
         if cp is not None:
             ax.text(tpos[i, 0] + 0.06, tpos[i, 1] + 0.06,
                     f"CP={float(cp[i]):.2f}", fontsize=7, color=c)
+        # social-region tag (`utils.get_obstacle_region:146-215` — the
+        # reference computes FRF/FLF/FRC/FLC per obstacle for its social-
+        # navigation debugging; here it annotates the same debug view)
+        rel = tpos[i] - np.asarray(state.pos)
+        bearing = math.atan2(rel[1], rel[0]) - float(state.yaw)
+        bearing = (bearing + math.pi) % (2 * math.pi) - math.pi
+        region = int(geom.social_region(jnp.asarray(bearing),
+                                        jnp.asarray(np.linalg.norm(rel))))
+        tag = ("", "FRF", "FLF", "FRC", "FLC")[region]
+        if tag:
+            ax.text(tpos[i, 0] + 0.06, tpos[i, 1] - 0.06, tag,
+                    fontsize=6, color="#555555")
 
     # robot: body circle + heading arrow
     x, y = np.asarray(state.pos)

@@ -102,11 +102,15 @@ def test_strict_waypoint_box_vs_euclid():
     strict = dataclasses.replace(cfg, strict_quirks=True)
     env = CrowdEnv(cfg)
     state, _ = env.reset(jax.random.PRNGKey(0))
-    # robot at diagonal 0.267 m from its waypoint
+    # robot at diagonal 0.267 m from its waypoint; best_goal_dist pinned to
+    # the current goal distance so the default milestone test stays quiet
     d = 0.267 / np.sqrt(2)
+    pos = np.array([0.0, 0.0], np.float32)
     state = state.replace(
-        pos=jnp.asarray(np.array([0.0, 0.0], np.float32)),
-        waypoint=jnp.asarray(np.array([d, d], np.float32)))
+        pos=jnp.asarray(pos),
+        waypoint=jnp.asarray(np.array([d, d], np.float32)),
+        best_goal_dist=jnp.asarray(
+            np.linalg.norm(pos - np.asarray(cfg.goal)).astype(np.float32)))
     args = (state, jnp.asarray(0.5), jnp.asarray(0.1),
             jnp.zeros((), bool), jnp.zeros((), bool))
     r_def, _ = _reward(cfg, *args)
