@@ -37,19 +37,24 @@ SUITES = {
            for b in ("crossing", "towards", "ahead", "random")],
     "20": [("test_20", b)
            for b in ("crossing_20", "towards_20", "ahead_20", "random_20")],
+    # greedy evaluation in the TRAINING world (collisions terminate) — the
+    # in-distribution success check used to validate a training run
+    "train": [("crowd_dense", "crowd")],
+    "train_sparse": [("crowd_sparse", "crowd")],
 }
 
 
 def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
                       n_envs: int, max_steps: int, seed: int,
-                      jitter: float = 0.0):
+                      jitter: float = 0.0, ablation: str | None = None):
     """One scenario, N envs. With ``jitter`` > 0 every env (and every
     auto-reset, via the reset bank) starts from a distinct randomized spawn
     — the batched stand-in for the episode-to-episode physics variation of
     the reference's Gazebo test worlds; without it, fixed-pattern behaviors
     make all N envs bit-identical and the success rate degenerates to
     {0, 1}."""
-    cfg = make_config(world, behavior, max_steps=max_steps, jitter=jitter)
+    cfg = make_config(world, behavior, max_steps=max_steps, jitter=jitter,
+                      ablation=ablation)
     env_cls = CrowdEnv if algo in RISK_ENV_ALGOS else SimpleEnv
     env = env_cls(cfg)
     agent, discrete = _build_agent(algo, env.obs_dim, n_envs)
@@ -103,6 +108,9 @@ def main(argv=None):
                    choices=["td3", "ddpg", "sac", "dqn"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--suite", default="20", choices=list(SUITES))
+    p.add_argument("--ablation", default=None,
+                   help="ablation arm of the checkpoint being evaluated "
+                        "(state dims must match training)")
     p.add_argument("--n-envs", type=int, default=256)
     p.add_argument("--max-steps", type=int, default=500)
     p.add_argument("--outdir", default="results")
@@ -124,24 +132,25 @@ def main(argv=None):
 
     agent_state = None
     if args.checkpoint:
-        # restore against a template built from the first scenario
+        # restore ONLY the agent-state subtree against a shape template
+        # (the training run's env batch / replay sizes need not match)
         world, behavior = SUITES[args.suite][0]
-        cfg = make_config(world, behavior, max_steps=args.max_steps)
+        cfg = make_config(world, behavior, max_steps=args.max_steps,
+                          ablation=args.ablation)
         env_cls = CrowdEnv if args.algo in RISK_ENV_ALGOS else SimpleEnv
         env = env_cls(cfg)
         agent, discrete = _build_agent(args.algo, env.obs_dim, args.n_envs)
-        template = Trainer(env, agent,
-                           TrainerConfig(n_envs=args.n_envs, learning=False),
-                           discrete=discrete).init(jax.random.PRNGKey(0))
-        restored, _ = restore_checkpoint(args.checkpoint, template)
-        agent_state = restored.agent_state
+        from crowdnav_tpu.utils.checkpoint import restore_agent_state
+        agent_state = restore_agent_state(
+            args.checkpoint, jax.jit(agent.init)(jax.random.PRNGKey(0)))
 
     logger = EpisodeLogger(args.outdir, f"{args.algo}_training_test")
     results = []
     for i, (world, behavior) in enumerate(SUITES[args.suite]):
         summary, agent_state = evaluate_scenario(
             args.algo, agent_state, world, behavior, args.n_envs,
-            args.max_steps, args.seed + i, jitter=args.jitter)
+            args.max_steps, args.seed + i, jitter=args.jitter,
+            ablation=args.ablation)
         logger.record_summary(summary, 0, summary["timelapse"])
         print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in summary.items()}), flush=True)

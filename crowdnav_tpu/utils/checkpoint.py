@@ -44,3 +44,28 @@ def restore_checkpoint(path: str, template, step: int | None = None):
                     f"resume")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract)), step
+
+
+def restore_agent_state(path: str, agent_template, step: int | None = None):
+    """Restore ONLY the ``agent_state`` subtree of a trainer checkpoint.
+
+    The checkpoint's env batch, reset bank, and replay-ring shapes come
+    from the *training* run and need not match the evaluating process;
+    shapes for the agent subtree come from ``agent_template`` (a freshly
+    initialized agent state), everything else is skipped via placeholders
+    so the multi-GB replay ring is never read."""
+    path = os.path.abspath(path)
+    with ocp.CheckpointManager(path) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(
+                    f"no committed checkpoint found under {path}")
+    ckptr = ocp.PyTreeCheckpointer()
+    item_dir = os.path.join(path, str(step), "default")
+    abstract = {"agent_state": jax.tree.map(
+        ocp.utils.to_shape_dtype_struct, agent_template)}
+    restored = ckptr.restore(
+        item_dir, args=ocp.args.PyTreeRestore(abstract,
+                                              partial_restore=True))
+    return restored["agent_state"]

@@ -64,3 +64,34 @@ turtlebot3:
     assert out["env"]["max_steps"] == 1000
     assert out["env"]["goal"] == (-1.0, 1.0)
     assert out["run"]["n_episodes"] == 3020
+
+
+def test_restore_agent_state_partial(tmp_path):
+    """Agent-only checkpoint restore: training-run shapes (n_envs, replay)
+    need not match the evaluating process (drivers/evaluate.py path)."""
+    import jax
+    import numpy as np
+
+    from crowdnav_tpu.agents import TD3, TD3Config
+    from crowdnav_tpu.envs import CrowdEnv, make_config
+    from crowdnav_tpu.parallel import Trainer, TrainerConfig
+    from crowdnav_tpu.utils import save_checkpoint
+    from crowdnav_tpu.utils.checkpoint import restore_agent_state
+
+    cfg = make_config("crowd_none", max_steps=8)
+    env = CrowdEnv(cfg)
+    agent = TD3(TD3Config(hidden=16, batch_size=4, buffer_size=64),
+                env.obs_dim)
+    trainer = Trainer(env, agent,
+                      TrainerConfig(n_envs=4, rollout_chunk=2,
+                                    learn_start=4))
+    state = trainer.init(jax.random.PRNGKey(0))
+    state = trainer.make_jitted()(state)
+    save_checkpoint(str(tmp_path / "ck"), state, 8)
+
+    tmpl = jax.jit(agent.init)(jax.random.PRNGKey(1))
+    ast = restore_agent_state(str(tmp_path / "ck"), tmpl)
+    assert type(ast).__name__ == "TD3State"
+    want = jax.device_get(state.agent_state.actor_params)
+    got = jax.device_get(ast.actor_params)
+    jax.tree.map(np.testing.assert_array_equal, want, got)
