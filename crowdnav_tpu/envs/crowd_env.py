@@ -235,9 +235,10 @@ class CrowdEnv:
         import numpy as _np
         # jitted: the eager reset is hundreds of tiny dispatches, which is
         # minutes of latency on remote/tunneled backends
+        # per-leaf np.asarray, NOT jax.device_get: device_get's batched
+        # copy_to_host_async deadlocks through tunneled TPU relays
         st, obs = jax.jit(self.reset)(jax.random.PRNGKey(0))
-        self._template = jax.tree.map(_np.asarray,
-                                      jax.device_get((st, obs)))
+        self._template = jax.tree.map(_np.asarray, (st, obs))
 
     def reset(self, key: jax.Array) -> tuple[EnvState, jax.Array]:
         """Fresh episode. The CP block is skipped on the reset observation

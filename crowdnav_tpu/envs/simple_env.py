@@ -47,10 +47,11 @@ class SimpleEnv:
         self.n_discrete_actions = 3
         # deterministic reset template (see CrowdEnv.__init__); jitted —
         # eager resets are hundreds of dispatches on remote backends
+        # per-leaf np.asarray, NOT jax.device_get (deadlocks on tunneled
+        # TPU relays — see CrowdEnv.__init__)
         import numpy as _np
         st, obs = jax.jit(self.reset)(jax.random.PRNGKey(0))
-        self._template = jax.tree.map(_np.asarray,
-                                      jax.device_get((st, obs)))
+        self._template = jax.tree.map(_np.asarray, (st, obs))
 
     def _observe(self, state: EnvState):
         cfg = self.cfg
