@@ -56,7 +56,12 @@ class TD3Config:
     # the action box. Off-policy TD3 tolerates it, and it guarantees state
     # coverage (goal discovery) that pure policy+Gaussian exploration can
     # lose when the actor saturates (e.g. the stop-and-spin collapse).
+    # Anneals explore_uniform_eps -> explore_uniform_eps_min over
+    # explore_decay_steps (same schedule knob as sigma); start near 1.0 so
+    # the early buffer is a pure random walk (whose per-episode goal-hit
+    # rate seeds the critic's +200 signal), then hand over to the policy.
     explore_uniform_eps: float = 0.0
+    explore_uniform_eps_min: float | None = None  # None = constant
 
 
 @struct.dataclass
@@ -69,6 +74,7 @@ class TD3State:
     critic_opt: Any
     update_count: jax.Array
     explore_sigma: jax.Array  # () current exploration noise scale
+    explore_eps: jax.Array    # () current epsilon-uniform mixing prob
 
 
 class TD3:
@@ -97,17 +103,25 @@ class TD3:
             critic_opt=self.critic_tx.init(critic_params),
             update_count=jnp.zeros((), jnp.int32),
             explore_sigma=jnp.asarray(self.cfg.explore_sigma, jnp.float32),
+            explore_eps=jnp.asarray(self.cfg.explore_uniform_eps,
+                                    jnp.float32),
         )
 
     def decay_sigma(self, state: TD3State, env_steps) -> TD3State:
-        """Linear sigma anneal (`GaussianExploration.sample:73-77`), driven
-        by total env-steps; a no-op when explore_sigma_min == explore_sigma
-        (the reference's shipped configuration)."""
+        """Linear exploration anneal over ``explore_decay_steps`` env-steps:
+        Gaussian sigma (`GaussianExploration.sample:73-77` machinery — the
+        reference ships max == min so it never moves) and the epsilon-
+        uniform mixing probability."""
         cfg = self.cfg
         frac = jnp.minimum(1.0, env_steps / cfg.explore_decay_steps)
         sigma = cfg.explore_sigma - (cfg.explore_sigma
                                      - cfg.explore_sigma_min) * frac
-        return state.replace(explore_sigma=sigma.astype(jnp.float32))
+        state = state.replace(explore_sigma=sigma.astype(jnp.float32))
+        if cfg.explore_uniform_eps_min is not None:
+            eps = cfg.explore_uniform_eps - (
+                cfg.explore_uniform_eps - cfg.explore_uniform_eps_min) * frac
+            state = state.replace(explore_eps=eps.astype(jnp.float32))
+        return state
 
     def act(self, state: TD3State, obs, key=None, explore: bool = True):
         """Batched policy (+ exploration noise, clipped to the action box —
@@ -124,7 +138,7 @@ class TD3:
                 unif = jax.random.uniform(k_unif, action.shape,
                                           minval=lo, maxval=hi)
                 pick = jax.random.bernoulli(
-                    k_eps, self.cfg.explore_uniform_eps,
+                    k_eps, jnp.clip(state.explore_eps, 0.0, 1.0),
                     action.shape[:-1] + (1,))
                 action = jnp.where(pick, unif, action)
         return jnp.clip(action, lo, hi)
@@ -190,6 +204,7 @@ class TD3:
             critic_opt=critic_opt,
             update_count=state.update_count + 1,
             explore_sigma=state.explore_sigma,
+            explore_eps=state.explore_eps,
         )
         metrics = {"critic_loss": c_loss, "actor_loss": a_loss,
                    "q_target_mean": jnp.mean(y)}

@@ -52,6 +52,8 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
                       explore_decay_steps=int(args.sigma_decay_steps))
         if args is not None and getattr(args, "explore_eps", None):
             kw.update(explore_uniform_eps=args.explore_eps)
+            if getattr(args, "explore_eps_min", None) is not None:
+                kw.update(explore_uniform_eps_min=args.explore_eps_min)
         return TD3(TD3Config(**kw), obs_dim), False
     if algo == "ddpg":
         return DDPG(DDPGConfig(), obs_dim, n_envs=n_envs), False
@@ -131,6 +133,9 @@ def main(argv=None):
                    help="epsilon-uniform action mixing for TD3 behavior "
                         "policy (coverage guarantee; 0 = reference-parity "
                         "Gaussian-only)")
+    p.add_argument("--explore-eps-min", type=float, default=None,
+                   help="anneal epsilon to this floor over "
+                        "--sigma-decay-steps (None = constant epsilon)")
     p.add_argument("--outdir", default="results")
     p.add_argument("--ckpt-every-chunks", type=int, default=50)
     p.add_argument("--resume", action="store_true",
