@@ -62,6 +62,13 @@ class TD3Config:
     # rate seeds the critic's +200 signal), then hand over to the policy.
     explore_uniform_eps: float = 0.0
     explore_uniform_eps_min: float | None = None  # None = constant
+    # Per-env epsilon spectrum (Ape-X style): instead of one annealed
+    # scalar, env i of a batch of N uses the log-spaced constant
+    #   eps_i = eps * (eps_min / eps)^(i / (N-1))
+    # so a fixed fraction of envs explore near-uniformly FOREVER (a
+    # permanent stream of goal-reaching transitions into the replay ring)
+    # while the rest exploit. Overrides the anneal when set.
+    explore_eps_spectrum: bool = False
 
 
 @struct.dataclass
@@ -137,9 +144,17 @@ class TD3:
             if self.cfg.explore_uniform_eps > 0.0:
                 unif = jax.random.uniform(k_unif, action.shape,
                                           minval=lo, maxval=hi)
-                pick = jax.random.bernoulli(
-                    k_eps, jnp.clip(state.explore_eps, 0.0, 1.0),
-                    action.shape[:-1] + (1,))
+                if self.cfg.explore_eps_spectrum and action.ndim > 1:
+                    n = action.shape[0]
+                    hi_e = self.cfg.explore_uniform_eps
+                    lo_e = self.cfg.explore_uniform_eps_min or 0.01
+                    frac = jnp.arange(n, dtype=jnp.float32) / max(n - 1, 1)
+                    eps = hi_e * (lo_e / hi_e) ** frac
+                    eps = eps.reshape((n,) + (1,) * (action.ndim - 1))
+                else:
+                    eps = jnp.clip(state.explore_eps, 0.0, 1.0)
+                pick = jax.random.bernoulli(k_eps, eps,
+                                            action.shape[:-1] + (1,))
                 action = jnp.where(pick, unif, action)
         return jnp.clip(action, lo, hi)
 

@@ -54,6 +54,8 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
             kw.update(explore_uniform_eps=args.explore_eps)
             if getattr(args, "explore_eps_min", None) is not None:
                 kw.update(explore_uniform_eps_min=args.explore_eps_min)
+            if getattr(args, "explore_spectrum", False):
+                kw.update(explore_eps_spectrum=True)
         return TD3(TD3Config(**kw), obs_dim), False
     if algo == "ddpg":
         return DDPG(DDPGConfig(), obs_dim, n_envs=n_envs), False
@@ -136,6 +138,10 @@ def main(argv=None):
     p.add_argument("--explore-eps-min", type=float, default=None,
                    help="anneal epsilon to this floor over "
                         "--sigma-decay-steps (None = constant epsilon)")
+    p.add_argument("--explore-spectrum", action="store_true",
+                   help="per-env log-spaced epsilon spectrum between "
+                        "--explore-eps and --explore-eps-min (Ape-X style; "
+                        "permanent explorer envs instead of an anneal)")
     p.add_argument("--outdir", default="results")
     p.add_argument("--ckpt-every-chunks", type=int, default=50)
     p.add_argument("--resume", action="store_true",
