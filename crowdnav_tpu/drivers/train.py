@@ -227,9 +227,15 @@ def main(argv=None):
         if args.ckpt_every_chunks and (chunk + 1) % args.ckpt_every_chunks == 0:
             save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state,
                             steps_done + (chunk + 1) * steps_per_chunk)
-    # final checkpoint: the run's one durable artifact, always committed
-    save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state,
-                    steps_done + n_chunks * steps_per_chunk)
+    # final checkpoint: full trainer state (multi-GB, gitignored) for exact
+    # resume + a small agent-only checkpoint (params/targets/opt state — a
+    # few MB) that IS committed and is all `drivers.evaluate --checkpoint`
+    # needs (restore_agent_state reads just the agent_state subtree).
+    final_step = steps_done + n_chunks * steps_per_chunk
+    save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state, final_step)
+    if is_main:
+        save_checkpoint(f"{args.outdir}/agent_ckpt_{args.algo}",
+                        {"agent_state": state.agent_state}, final_step)
     print(f"done: {n_chunks * steps_per_chunk:.0f} env-steps in "
           f"{time.time() - t_start:.1f}s")
     return state
