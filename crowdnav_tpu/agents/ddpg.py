@@ -31,6 +31,15 @@ class DDPGConfig:
     max_ang_vel: float = 2.0
     ou_theta: float = 0.15            # ddpg.py:43 (OUNoise defaults)
     ou_sigma: float = 0.2
+    # epsilon-uniform action mixing (not in the reference; same coverage
+    # guarantee as TD3Config.explore_uniform_eps — OU noise alone loses
+    # goal discovery at batch scale exactly like the reference's DDPG run,
+    # which collapsed to 0% success, BASELINE.md). When
+    # ``explore_eps_spectrum`` is set, env i of a batch of N explores with
+    # the log-spaced constant eps_i in [eps_min, eps] (Ape-X style).
+    explore_uniform_eps: float = 0.0
+    explore_uniform_eps_min: float = 0.01
+    explore_eps_spectrum: bool = False
 
 
 @struct.dataclass
@@ -79,12 +88,28 @@ class DDPG:
         cfg = self.cfg
         action = self.actor.apply(state.actor_params, obs)
         ou = state.ou_state
-        if explore and key is not None:
-            u = jax.random.uniform(key, ou.shape)
-            ou = ou + cfg.ou_theta * (0.0 - ou) + cfg.ou_sigma * u
-            action = action + ou
         lo = jnp.array([0.0, -cfg.max_ang_vel])
         hi = jnp.array([cfg.max_lin_vel, cfg.max_ang_vel])
+        if explore and key is not None:
+            k_ou, k_eps, k_unif = jax.random.split(key, 3)
+            u = jax.random.uniform(k_ou, ou.shape)
+            ou = ou + cfg.ou_theta * (0.0 - ou) + cfg.ou_sigma * u
+            action = action + ou
+            if cfg.explore_uniform_eps > 0.0 and action.ndim > 1:
+                unif = jax.random.uniform(k_unif, action.shape,
+                                          minval=lo, maxval=hi)
+                if cfg.explore_eps_spectrum:
+                    n = action.shape[0]
+                    hi_e, lo_e = (cfg.explore_uniform_eps,
+                                  cfg.explore_uniform_eps_min)
+                    frac = jnp.arange(n, dtype=jnp.float32) / max(n - 1, 1)
+                    eps = hi_e * (lo_e / hi_e) ** frac
+                    eps = eps.reshape((n,) + (1,) * (action.ndim - 1))
+                else:
+                    eps = cfg.explore_uniform_eps
+                pick = jax.random.bernoulli(k_eps, eps,
+                                            action.shape[:-1] + (1,))
+                action = jnp.where(pick, unif, action)
         return jnp.clip(action, lo, hi), state.replace(ou_state=ou)
 
     def update(self, state: DDPGState, batch, key=None):

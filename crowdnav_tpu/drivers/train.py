@@ -58,7 +58,14 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
                 kw.update(explore_eps_spectrum=True)
         return TD3(TD3Config(**kw), obs_dim), False
     if algo == "ddpg":
-        return DDPG(DDPGConfig(), obs_dim, n_envs=n_envs), False
+        kw = {}
+        if args is not None and getattr(args, "explore_eps", None):
+            kw.update(explore_uniform_eps=args.explore_eps)
+            if getattr(args, "explore_eps_min", None) is not None:
+                kw.update(explore_uniform_eps_min=args.explore_eps_min)
+            if getattr(args, "explore_spectrum", False):
+                kw.update(explore_eps_spectrum=True)
+        return DDPG(DDPGConfig(**kw), obs_dim, n_envs=n_envs), False
     if algo == "sac":
         return SAC(SACConfig(), obs_dim), False
     if algo == "dqn":

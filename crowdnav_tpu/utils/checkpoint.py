@@ -30,6 +30,17 @@ def save_checkpoint(path: str, trainer_state, step: int):
                 f"(latest committed: {mgr.latest_step()})")
 
 
+def _abstract_like(leaf):
+    """Shape/dtype struct carrying the template's sharding — required when
+    restoring on a different topology than the save (e.g. a TPU-trained
+    agent checkpoint restored by a CPU eval/viz process); without it this
+    orbax version raises "sharding ... should be specified"."""
+    if hasattr(leaf, "sharding"):
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                    sharding=leaf.sharding)
+    return ocp.utils.to_shape_dtype_struct(leaf)
+
+
 def restore_checkpoint(path: str, template, step: int | None = None):
     """Restore into the shape/dtype structure of ``template`` (a freshly
     built trainer state)."""
@@ -42,7 +53,7 @@ def restore_checkpoint(path: str, template, step: int | None = None):
                     f"no committed checkpoint found under {path} (orphaned "
                     f"*.orbax-checkpoint-tmp dirs don't count); cannot "
                     f"resume")
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        abstract = jax.tree.map(_abstract_like, template)
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract)), step
 
 
@@ -63,9 +74,16 @@ def restore_agent_state(path: str, agent_template, step: int | None = None):
                     f"no committed checkpoint found under {path}")
     ckptr = ocp.PyTreeCheckpointer()
     item_dir = os.path.join(path, str(step), "default")
-    abstract = {"agent_state": jax.tree.map(
-        ocp.utils.to_shape_dtype_struct, agent_template)}
+    abstract = {"agent_state": jax.tree.map(_abstract_like,
+                                             agent_template)}
+    # PyTreeCheckpointer ignores ShapeDtypeStruct.sharding; cross-topology
+    # restores (TPU-saved -> CPU eval) need explicit ArrayRestoreArgs
+    restore_args = jax.tree.map(
+        lambda a: ocp.ArrayRestoreArgs(sharding=getattr(a, "sharding", None),
+                                       global_shape=a.shape, dtype=a.dtype),
+        abstract)
     restored = ckptr.restore(
         item_dir, args=ocp.args.PyTreeRestore(abstract,
+                                              restore_args=restore_args,
                                               partial_restore=True))
     return restored["agent_state"]
