@@ -58,7 +58,7 @@ def bench_config(args, lidar_backend: str, learning: bool):
     cfg = make_config("crowd_dense", "crowd", jitter=1.0,
                       lidar_backend=lidar_backend)
     env = CrowdEnv(cfg)
-    agent = TD3(TD3Config(), env.obs_dim)
+    agent = TD3(TD3Config(batch_size=args.batch_size), env.obs_dim)
     tcfg = TrainerConfig(n_envs=args.n_envs, rollout_chunk=args.chunk,
                          learn_start=256, learning=learning,
                          updates_per_step=args.updates_per_step,
@@ -91,6 +91,7 @@ def bench_config(args, lidar_backend: str, learning: bool):
         "config": {
             "n_envs": args.n_envs, "chunk": args.chunk,
             "updates_per_step": args.updates_per_step,
+            "batch_size": args.batch_size,
             "learning": learning, "lidar_backend": lidar_backend,
             "jitter": 1.0,
         },
@@ -116,6 +117,8 @@ def main():
                    help="learner updates per batched step; default matches "
                         "the converging training configuration, not a "
                         "learner-free sprint")
+    p.add_argument("--batch-size", type=int, default=128,
+                   help="learner batch per update (reference: 128)")
     p.add_argument("--no-learn", action="store_true",
                    help="pure env throughput (no learner updates)")
     p.add_argument("--all-backends", action="store_true",

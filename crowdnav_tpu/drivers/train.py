@@ -50,6 +50,8 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
         if args is not None and args.sigma_min is not None:
             kw.update(explore_sigma_min=args.sigma_min,
                       explore_decay_steps=int(args.sigma_decay_steps))
+        if args is not None and getattr(args, "batch_size", None):
+            kw.update(batch_size=args.batch_size)
         if args is not None and getattr(args, "explore_eps", None):
             kw.update(explore_uniform_eps=args.explore_eps)
             if getattr(args, "explore_eps_min", None) is not None:
@@ -127,6 +129,11 @@ def main(argv=None):
                         "n_envs here — ratios of 1/8..1/64 converge in "
                         "practice (see TrainerConfig)")
     p.add_argument("--learn-start", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="TD3 learner batch (reference: 128). Larger batches "
+                        "with proportionally fewer --updates-per-step keep "
+                        "the sample-reuse ratio while feeding the MXU "
+                        "bigger matmuls (the learner dominates step time)")
     p.add_argument("--jitter", type=float, default=0.0,
                    help="reset-randomization scale (start pose, pedestrian "
                         "spawns/phases); 1.0 = standard training diversity")
