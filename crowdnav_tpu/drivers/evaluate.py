@@ -107,6 +107,9 @@ def main(argv=None):
     p.add_argument("--algo", default="td3",
                    choices=["td3", "ddpg", "sac", "dqn"])
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-step", type=int, default=None,
+                   help="restore a specific step from a snapshot manager "
+                        "dir (agent_snapshots_<algo>); default = latest")
     p.add_argument("--suite", default="20", choices=list(SUITES))
     p.add_argument("--ablation", default=None,
                    help="ablation arm of the checkpoint being evaluated "
@@ -142,7 +145,8 @@ def main(argv=None):
         agent, discrete = _build_agent(args.algo, env.obs_dim, args.n_envs)
         from crowdnav_tpu.utils.checkpoint import restore_agent_state
         agent_state = restore_agent_state(
-            args.checkpoint, jax.jit(agent.init)(jax.random.PRNGKey(0)))
+            args.checkpoint, jax.jit(agent.init)(jax.random.PRNGKey(0)),
+            step=args.checkpoint_step)
 
     logger = EpisodeLogger(args.outdir, f"{args.algo}_training_test")
     results = []

@@ -61,6 +61,8 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
         return TD3(TD3Config(**kw), obs_dim), False
     if algo == "ddpg":
         kw = {}
+        if args is not None and getattr(args, "batch_size", None):
+            kw.update(batch_size=args.batch_size)
         if args is not None and getattr(args, "explore_eps", None):
             kw.update(explore_uniform_eps=args.explore_eps)
             if getattr(args, "explore_eps_min", None) is not None:
@@ -68,10 +70,13 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
             if getattr(args, "explore_spectrum", False):
                 kw.update(explore_eps_spectrum=True)
         return DDPG(DDPGConfig(**kw), obs_dim, n_envs=n_envs), False
+    kw = {}
+    if args is not None and getattr(args, "batch_size", None):
+        kw.update(batch_size=args.batch_size)
     if algo == "sac":
-        return SAC(SACConfig(), obs_dim), False
+        return SAC(SACConfig(**kw), obs_dim), False
     if algo == "dqn":
-        return DQN(DQNConfig(), obs_dim), True
+        return DQN(DQNConfig(**kw), obs_dim), True
     raise ValueError(f"unknown algo {algo!r} (tabular algos: use "
                      "crowdnav_tpu.drivers.train_tabular)")
 
@@ -130,10 +135,11 @@ def main(argv=None):
                         "practice (see TrainerConfig)")
     p.add_argument("--learn-start", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=None,
-                   help="TD3 learner batch (reference: 128). Larger batches "
-                        "with proportionally fewer --updates-per-step keep "
-                        "the sample-reuse ratio while feeding the MXU "
-                        "bigger matmuls (the learner dominates step time)")
+                   help="learner batch per update (reference: TD3 128, "
+                        "DDPG/SAC/DQN 64). Larger batches with "
+                        "proportionally fewer --updates-per-step keep the "
+                        "sample-reuse ratio while feeding the MXU bigger "
+                        "matmuls")
     p.add_argument("--jitter", type=float, default=0.0,
                    help="reset-randomization scale (start pose, pedestrian "
                         "spawns/phases); 1.0 = standard training diversity")
@@ -158,6 +164,15 @@ def main(argv=None):
                         "permanent explorer envs instead of an anneal)")
     p.add_argument("--outdir", default="results")
     p.add_argument("--ckpt-every-chunks", type=int, default=50)
+    p.add_argument("--snapshot-every-chunks", type=int, default=0,
+                   help="also save a small agent-only snapshot (params/"
+                        "targets/opt state, a few MB) every N chunks into "
+                        "<outdir>/agent_snapshots_<algo>, keyed by env-step "
+                        "— the reference keeps per-episode model saves "
+                        "(start_td3_training.py:150-154) so the PEAK policy "
+                        "of a run that later collapses (e.g. DDPG, "
+                        "BASELINE.md) remains evaluable via "
+                        "drivers.evaluate --checkpoint ... --checkpoint-step")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --outdir "
                         "(the reference's continue_execution/resume_epoch, "
@@ -185,6 +200,12 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if (args.algo == "ddpg" and args.explore_eps_min is not None
+            and not args.explore_spectrum):
+        print("warning: --explore-eps-min without --explore-spectrum is "
+              "ignored for DDPG (it has no epsilon anneal; TD3 anneals via "
+              "decay_sigma). Pass --explore-spectrum for per-env epsilons.",
+              flush=True)
     if args.multihost:
         from crowdnav_tpu.parallel import init_multihost, process_summary
         init_multihost(args.coordinator, args.num_processes, args.process_id)
@@ -201,7 +222,9 @@ def main(argv=None):
         print(f"resumed from step {steps_done}", flush=True)
     run = trainer.make_jitted()
     is_main = jax.process_index() == 0
-    logger = EpisodeLogger(args.outdir, f"{args.algo}_training") \
+    logger = EpisodeLogger(args.outdir, f"{args.algo}_training",
+                           extra_headers=["greedy_episodes",
+                                          "greedy_success_rate"]) \
         if is_main else None
 
     steps_per_chunk = args.n_envs * args.chunk
@@ -241,15 +264,22 @@ def main(argv=None):
         if args.ckpt_every_chunks and (chunk + 1) % args.ckpt_every_chunks == 0:
             save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state,
                             steps_done + (chunk + 1) * steps_per_chunk)
+        if args.snapshot_every_chunks and \
+                (chunk + 1) % args.snapshot_every_chunks == 0:
+            save_checkpoint(f"{args.outdir}/agent_snapshots_{args.algo}",
+                            {"agent_state": state.agent_state},
+                            steps_done + (chunk + 1) * steps_per_chunk)
     # final checkpoint: full trainer state (multi-GB, gitignored) for exact
     # resume + a small agent-only checkpoint (params/targets/opt state — a
     # few MB) that IS committed and is all `drivers.evaluate --checkpoint`
     # needs (restore_agent_state reads just the agent_state subtree).
     final_step = steps_done + n_chunks * steps_per_chunk
     save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state, final_step)
-    if is_main:
-        save_checkpoint(f"{args.outdir}/agent_ckpt_{args.algo}",
-                        {"agent_state": state.agent_state}, final_step)
+    # called from ALL processes: orbax save/wait_until_finished are
+    # collective under jax.process_count() > 1 — an is_main guard here
+    # would hang process 0 at the barrier at the very end of a run
+    save_checkpoint(f"{args.outdir}/agent_ckpt_{args.algo}",
+                    {"agent_state": state.agent_state}, final_step)
     print(f"done: {n_chunks * steps_per_chunk:.0f} env-steps in "
           f"{time.time() - t_start:.1f}s")
     return state

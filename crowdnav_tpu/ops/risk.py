@@ -325,6 +325,14 @@ def select_top_k(cfg: EnvConfig, tracks: TrackState, cp, live, robot_pos):
     else:
         score = jnp.where(tracks.valid, cp, -jnp.inf)
     top_cp, top_idx = jax.lax.top_k(score, K)
+    if cfg.strict_quirks:
+        # `sorted(desc)[-K:]` keeps the slice in DESCENDING cp order even
+        # though it selects the lowest-K set (:882-883); top_k over -cp
+        # returns ascending cp, so re-sort the picked entries
+        order = jnp.argsort(-jnp.where(jnp.isfinite(top_cp), cp[top_idx],
+                                       -jnp.inf), stable=True)
+        top_cp = top_cp[order]
+        top_idx = top_idx[order]
     picked_valid = live & jnp.isfinite(top_cp)
     top_cp = jnp.where(picked_valid, cp[top_idx], 0.0)
     pad = jnp.concatenate([robot_pos, jnp.zeros(2, robot_pos.dtype)])

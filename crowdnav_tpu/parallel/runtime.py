@@ -63,6 +63,13 @@ class EpisodeStats:
     dtg_sum: jax.Array         # () sum of dtg-reward fires
     htg_sum: jax.Array         # () sum of htg-reward fires
     wp_sum: jax.Array          # () sum of waypoint +200 fires
+    # greedy-cohort counters: episodes finished by envs whose exploration
+    # epsilon is ~0 (under the per-env eps spectrum a fixed fraction of
+    # envs explores near-uniformly forever, so the OVERALL training success
+    # structurally understates the policy; this cohort's rate is the
+    # reference-comparable curve — VERDICT r2 weakness 5)
+    greedy_episodes: jax.Array   # ()
+    greedy_successes: jax.Array  # ()
 
 
 def init_stats(n_envs: int) -> EpisodeStats:
@@ -75,7 +82,28 @@ def init_stats(n_envs: int) -> EpisodeStats:
         failures=jnp.zeros((), jnp.int32),
         total_reward=z(), total_steps=z(), ego_sum=z(), social_sum=z(),
         dtg_sum=z(), htg_sum=z(), wp_sum=z(),
+        greedy_episodes=jnp.zeros((), jnp.int32),
+        greedy_successes=jnp.zeros((), jnp.int32),
     )
+
+
+def greedy_env_mask(agent, n_envs: int, eps_cutoff: float = 0.1):
+    """(n_envs,) bool: envs whose behavior policy is (near-)greedy.
+
+    Mirrors the per-env log-spaced epsilon spectrum of
+    ``TD3.act``/``DDPG.act`` (eps_i = hi * (lo/hi)^(i/(N-1))): env i is
+    greedy iff eps_i <= ``eps_cutoff``. Without a spectrum every env shares
+    one (possibly annealed) epsilon, so the cohort is all envs and the
+    stratified metric coincides with the overall one."""
+    cfg = agent.cfg
+    if getattr(cfg, "explore_eps_spectrum", False) \
+            and getattr(cfg, "explore_uniform_eps", 0.0) > 0.0:
+        hi = cfg.explore_uniform_eps
+        lo = getattr(cfg, "explore_uniform_eps_min", None) or 0.01
+        frac = jnp.arange(n_envs, dtype=jnp.float32) / max(n_envs - 1, 1)
+        eps = hi * (lo / hi) ** frac
+        return eps <= eps_cutoff
+    return jnp.ones((n_envs,), bool)
 
 
 @struct.dataclass
@@ -110,6 +138,7 @@ class Trainer:
         act_dim = None if discrete else env.action_dim
         self.buffer = ReplayBuffer(agent.cfg.buffer_size, env.obs_dim,
                                    act_dim, block=tcfg.n_envs)
+        self.greedy_mask = greedy_env_mask(agent, tcfg.n_envs)
 
     # ---- init ----
     def init(self, key: jax.Array) -> TrainerState:
@@ -238,6 +267,10 @@ class Trainer:
                 jnp.where(done_now, htg_c, 0)).astype(jnp.float32),
             wp_sum=st.wp_sum + jnp.sum(
                 jnp.where(done_now, wp_c, 0)).astype(jnp.float32),
+            greedy_episodes=st.greedy_episodes + jnp.sum(
+                (done_now & self.greedy_mask).astype(jnp.int32)),
+            greedy_successes=st.greedy_successes + jnp.sum(
+                (succ & self.greedy_mask).astype(jnp.int32)),
         )
 
         # learn
@@ -294,7 +327,7 @@ class Trainer:
         host = jax.device_get(
             (s.episodes, s.successes, s.failures, s.total_reward,
              s.total_steps, s.ego_sum, s.social_sum, s.dtg_sum, s.htg_sum,
-             s.wp_sum))
+             s.wp_sum, s.greedy_episodes, s.greedy_successes))
         episodes = int(host[0])
         summary = {
             "episodes": episodes,
@@ -310,6 +343,9 @@ class Trainer:
             "mean_dtg_rewards": float(host[7]) / max(episodes, 1),
             "mean_htg_rewards": float(host[8]) / max(episodes, 1),
             "mean_wp_bonuses": float(host[9]) / max(episodes, 1),
+            # greedy-cohort success (reference-comparable training curve)
+            "greedy_episodes": int(host[10]),
+            "greedy_success_rate": float(host[11]) / max(int(host[10]), 1),
         }
         if state.learn_metrics is not None:
             summary.update({k: float(v) for k, v in jax.device_get(

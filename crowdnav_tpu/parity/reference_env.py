@@ -9,7 +9,21 @@ one of them.
 
 Where the reference has documented committed bugs (SURVEY.md §7 quirk
 policy), this oracle implements the *intended* semantics, matching the JAX
-default (`strict_quirks=False`); each site is annotated.
+default (`strict_quirks=False`); each site is annotated. With
+``cfg.strict_quirks=True`` the oracle instead reproduces the reference's
+literal committed behaviors, independently re-implemented (the JAX strict
+switches in `ops/risk.py` / `envs/crowd_env.py` then have a full-trajectory
+cross-check): the first live track's closing speed divides every track's
+TTC (`environment_stage_1_nobonus.py:793`), top-K overflow keeps the
+LOWEST-K slice of the descending CP sort (:882-883), and the waypoint +200
+uses the literal ±0.2 arrival box (:1110-1127) instead of the milestone
+trail.
+
+The tracker is slot-based (fixed ``max_tracks`` slots, insertion takes the
+lowest free slot) so "first live track" is well-defined and matches the
+fixed-slot JAX tracker's ordering — a bookkeeping choice, not borrowed
+code; the reference's uuid-dict ordering is an accident of insertion
+order.
 """
 from __future__ import annotations
 
@@ -55,8 +69,9 @@ class NumpyCrowdEnv:
                     if ped_pos is None else np.array(ped_pos, float))
         self.goal = np.array(cfg.goal, float)
         self.waypoint = self.goal.copy()
-        self.tracks = {}       # id -> dict(pos, prev, dist, speed, vel)
-        self.next_track_id = 0
+        # fixed-slot tracker: slot -> dict(pos, prev, dist, speed, vel) or
+        # None; insertion fills the lowest free slot (see module docstring)
+        self.tracks = [None] * self.cfg.max_tracks
         self.step_count = 0
         self.done = False
         self.success = False
@@ -212,8 +227,9 @@ class NumpyCrowdEnv:
         cfg = self.cfg
         side = 2 * cfg.ped_radius
         claimed = [False] * len(confirmed)
-        for tid in list(self.tracks):
-            tr = self.tracks[tid]
+        for slot, tr in enumerate(self.tracks):
+            if tr is None:
+                continue
             best, best_iou = None, 0.0
             for j, (_, pos, dist) in enumerate(confirmed):
                 dx = abs(tr["pos"][0] - pos[0])
@@ -223,7 +239,7 @@ class NumpyCrowdEnv:
                 if iou > best_iou:
                     best, best_iou = j, iou
             if best is None:
-                del self.tracks[tid]
+                self.tracks[slot] = None
                 continue
             is_o, pos, dist = confirmed[best]
             delta = (tr["pos"][0] - pos[0], tr["pos"][1] - pos[1])
@@ -235,20 +251,23 @@ class NumpyCrowdEnv:
         for j, (is_o, pos, dist) in enumerate(confirmed):
             if claimed[j] or not is_o:
                 continue
-            if len(self.tracks) >= cfg.max_tracks:
+            try:
+                slot = self.tracks.index(None)   # lowest free slot
+            except ValueError:
                 break
-            self.tracks[self.next_track_id] = dict(
+            self.tracks[slot] = dict(
                 pos=pos, prev=pos, dist=dist, speed=-1.0, vel=(0.0, 0.0),
                 has_prev=False)
-            self.next_track_id += 1
 
     def _collision_probs(self):
         cfg = self.cfg
         agent_speed = math.hypot(self.x - self.prev_x,
                                  self.y - self.prev_y) / cfg.dt
+        live = [tr for tr in self.tracks if tr is not None]
+        first_speed = live[0]["speed"] if live else 0.0
         rows = []           # (cp, x, y, vx, vy)
         ego = 0.0
-        for tr in self.tracks.values():
+        for tr in live:
             shift = ((tr["prev"][0] - tr["pos"][0],
                       tr["prev"][1] - tr["pos"][1])
                      if tr["has_prev"] else (0.0, 0.0))
@@ -265,7 +284,10 @@ class NumpyCrowdEnv:
                    / max(cfg.max_scan_range - cfg.min_scan_range, 1e-9))
             if tr["dist"] > cfg.max_scan_range:
                 gcp = 0.0
-            resultant = agent_speed - tr["speed"]
+            # strict: the reference divides every track's TTC by the FIRST
+            # track's closing speed (obstacle_vel = obstacle_vel[0], :793)
+            obs_speed = first_speed if cfg.strict_quirks else tr["speed"]
+            resultant = agent_speed - obs_speed
             if hit and resultant == 0.0:
                 cp = gcp
             elif hit:
@@ -280,10 +302,16 @@ class NumpyCrowdEnv:
             rows.append((cp, tr["pos"][0], tr["pos"][1],
                          tr["vel"][0], tr["vel"][1]))
         rows.sort(key=lambda r: r[0], reverse=True)
-        top = rows[:cfg.k_obstacles]
+        if cfg.strict_quirks and len(rows) > cfg.k_obstacles:
+            # the reference's `sorted(desc)[-K:]` keeps the LOWEST-K CPs
+            # (still in descending order) whenever more than K tracks exist
+            # (:882-883)
+            top = rows[-cfg.k_obstacles:]
+        else:
+            top = rows[:cfg.k_obstacles]
         while len(top) < cfg.k_obstacles:
             top.append((0.0, self.x, self.y, 0.0, 0.0))
-        return top, ego, (rows[0][0] if rows else 0.0)
+        return top, ego, (top[0][0] if rows else 0.0)
 
     # ---------- MDP ----------
     def _observe(self, compute_cp=True):
@@ -304,7 +332,7 @@ class NumpyCrowdEnv:
 
         confirmed = self._segment(scans, pts)
         self._track(confirmed)
-        if compute_cp and self.tracks:
+        if compute_cp and any(tr is not None for tr in self.tracks):
             top, self.ego_cp, self.cp_max = self._collision_probs()
         else:
             top = [(0.0, self.x, self.y, 0.0, 0.0)] * cfg.k_obstacles
@@ -350,18 +378,27 @@ class NumpyCrowdEnv:
             r += cfg.htg_reward
         elif hd < 0 and not (ch < 0 and ph < 0) and (ch != 0 and ph != 0):
             r += cfg.htg_reward
-        # waypoint milestone (intended semantics, matching the JAX default:
-        # +200 per waypoint_radius of NET best-goal-distance improvement —
-        # see crowd_env._reward docstring for why the literal box test is
-        # degenerate under deterministic kinematics)
-        goal_dist = float(np.hypot(self.x - self.goal[0],
-                                   self.y - self.goal[1]))
-        if goal_dist <= self.best_goal_dist - cfg.waypoint_radius:
-            r += cfg.waypoint_reward
-            self.best_goal_dist = goal_dist
-            self.waypoint = self._waypoint()
-            if self._in_box(self.goal, pos=self.waypoint):
-                self.waypoint = self.goal.copy()
+        if cfg.strict_quirks:
+            # literal reference mechanic: +-goal_eps arrival box against the
+            # current waypoint (:1110-1127, is_in_desired_position:1285-1301)
+            if self._in_box(self.waypoint):
+                r += cfg.waypoint_reward
+                self.waypoint = self._waypoint()
+                if self._in_box(self.goal, pos=self.waypoint):
+                    self.waypoint = self.goal.copy()
+        else:
+            # waypoint milestone (intended semantics, matching the JAX
+            # default: +200 per waypoint_radius of NET best-goal-distance
+            # improvement — see crowd_env._reward docstring for why the
+            # literal box test is degenerate under deterministic kinematics)
+            goal_dist = float(np.hypot(self.x - self.goal[0],
+                                       self.y - self.goal[1]))
+            if goal_dist <= self.best_goal_dist - cfg.waypoint_radius:
+                r += cfg.waypoint_reward
+                self.best_goal_dist = goal_dist
+                self.waypoint = self._waypoint()
+                if self._in_box(self.goal, pos=self.waypoint):
+                    self.waypoint = self.goal.copy()
         if self.done:
             r += cfg.goal_reward if self.success else cfg.collision_reward
         self.prev_distance, self.prev_heading = dtg, htg

@@ -74,8 +74,23 @@ def restore_agent_state(path: str, agent_template, step: int | None = None):
                     f"no committed checkpoint found under {path}")
     ckptr = ocp.PyTreeCheckpointer()
     item_dir = os.path.join(path, str(step), "default")
-    abstract = {"agent_state": jax.tree.map(_abstract_like,
-                                             agent_template)}
+    template = agent_template
+    fresh_ou = getattr(template, "ou_state", None)
+    if fresh_ou is not None:
+        # DDPG's ou_state is exploration-only carry shaped (train_n_envs,
+        # act_dim) — batch-dependent, unused under explore=False, and a
+        # shape-mismatch trap when eval n_envs != training n_envs. Restore
+        # it at its SAVED shape (from checkpoint metadata), then throw it
+        # away and keep the template's freshly initialized zeros.
+        md = ckptr.metadata(item_dir)
+        md_tree = getattr(md, "tree", None)
+        if md_tree is None:
+            md_tree = md.item_metadata.tree
+        saved = md_tree["agent_state"]["ou_state"]
+        template = template.replace(ou_state=jax.ShapeDtypeStruct(
+            tuple(saved.shape), saved.dtype,
+            sharding=getattr(fresh_ou, "sharding", None)))
+    abstract = {"agent_state": jax.tree.map(_abstract_like, template)}
     # PyTreeCheckpointer ignores ShapeDtypeStruct.sharding; cross-topology
     # restores (TPU-saved -> CPU eval) need explicit ArrayRestoreArgs
     restore_args = jax.tree.map(
@@ -86,4 +101,7 @@ def restore_agent_state(path: str, agent_template, step: int | None = None):
         item_dir, args=ocp.args.PyTreeRestore(abstract,
                                               restore_args=restore_args,
                                               partial_restore=True))
-    return restored["agent_state"]
+    out = restored["agent_state"]
+    if fresh_ou is not None:
+        out = out.replace(ou_state=fresh_ou)
+    return out

@@ -20,18 +20,26 @@ HEADERS = ["episode_number", "success_episode", "failure_episode",
 
 
 class EpisodeLogger:
-    def __init__(self, outdir: str, filename: str):
+    def __init__(self, outdir: str, filename: str,
+                 extra_headers: list[str] | None = None):
+        """``extra_headers``: summary keys appended as additional columns
+        after the reference's 8 (training CSVs carry the stratified
+        greedy-cohort success this way; eval CSVs keep the exact reference
+        schema)."""
         os.makedirs(outdir, exist_ok=True)
+        self.extra = list(extra_headers or [])
         self.path = os.path.join(outdir, filename + ".csv")
         if not os.path.isfile(self.path):
             with open(self.path, "w", newline="") as fp:
-                csv.writer(fp).writerow(HEADERS)
+                csv.writer(fp).writerow(HEADERS + self.extra)
 
     def record(self, episode_number, success, failure, reward, steps,
-               ego_safety=None, social_safety=None, timelapse=None):
+               ego_safety=None, social_safety=None, timelapse=None,
+               extra=()):
         row = [episode_number, success, failure, reward, steps]
         if ego_safety is not None:
             row += [ego_safety, social_safety, timelapse]
+        row += list(extra)
         with open(self.path, "a", newline="") as fp:
             csv.writer(fp).writerow(row)
 
@@ -47,4 +55,6 @@ class EpisodeLogger:
             round(summary["mean_ego_safety"], 4),
             round(summary["mean_social_safety"], 4),
             round(timelapse, 3),
+            extra=[round(summary[k], 4) if isinstance(summary.get(k), float)
+                   else summary.get(k, "") for k in self.extra],
         )

@@ -95,3 +95,39 @@ def test_restore_agent_state_partial(tmp_path):
     want = jax.device_get(state.agent_state.actor_params)
     got = jax.device_get(ast.actor_params)
     jax.tree.map(np.testing.assert_array_equal, want, got)
+
+
+def test_restore_agent_state_ddpg_cross_batch(tmp_path):
+    """DDPG's ou_state is shaped (train_n_envs, 2); the agent-only restore
+    must succeed into a template built with a DIFFERENT n_envs (the eval
+    process), keeping the template's fresh ou_state (exploration-only,
+    unused under explore=False) — ADVICE r2 medium #2."""
+    import jax
+    import numpy as np
+
+    from crowdnav_tpu.agents import DDPG, DDPGConfig
+    from crowdnav_tpu.envs import CrowdEnv, make_config
+    from crowdnav_tpu.parallel import Trainer, TrainerConfig
+    from crowdnav_tpu.utils import save_checkpoint
+    from crowdnav_tpu.utils.checkpoint import restore_agent_state
+
+    cfg = make_config("crowd_none", max_steps=8)
+    env = CrowdEnv(cfg)
+    agent = DDPG(DDPGConfig(hidden=16, batch_size=4, buffer_size=64),
+                 env.obs_dim, n_envs=8)
+    trainer = Trainer(env, agent,
+                      TrainerConfig(n_envs=8, rollout_chunk=2,
+                                    learn_start=4))
+    state = trainer.init(jax.random.PRNGKey(0))
+    state = trainer.make_jitted()(state)
+    save_checkpoint(str(tmp_path / "ck"),
+                    {"agent_state": state.agent_state}, 8)
+
+    eval_agent = DDPG(DDPGConfig(hidden=16, batch_size=4, buffer_size=64),
+                      env.obs_dim, n_envs=3)   # mismatched eval batch
+    tmpl = jax.jit(eval_agent.init)(jax.random.PRNGKey(1))
+    ast = restore_agent_state(str(tmp_path / "ck"), tmpl)
+    assert ast.ou_state.shape == (3, 2)        # template's, not saved
+    want = jax.device_get(state.agent_state.actor_params)
+    got = jax.device_get(ast.actor_params)
+    jax.tree.map(np.testing.assert_array_equal, want, got)

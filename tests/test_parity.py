@@ -172,3 +172,66 @@ def test_parity_collision_termination():
     assert traj[-1][4] and traj[-1][5]
     # failure (wall), not success
     assert traj[-1][2] < -100 and traj[-1][3] < -100
+
+
+def _steering_actions(cfg, n):
+    """Open-loop goal-steering action sequence from a dead-reckoned rollout
+    of the same diff-drive integrator (no env involved): heading-P control
+    at full speed — the profile under which the reference's literal
+    waypoint box demonstrably fires (see crowd_env._reward docstring)."""
+    import math
+    x, y, yaw = cfg.start_pose
+    gx, gy = cfg.goal
+    acts = []
+    for _ in range(n):
+        hd = (math.atan2(gy - y, gx - x) - yaw + math.pi) % (2 * math.pi) \
+            - math.pi
+        v, w = 0.22, float(np.clip(2.0 * hd, -2.0, 2.0))
+        acts.append((v, w))
+        vl = v - w * cfg.wheel_separation / 2.0
+        vr = v + w * cfg.wheel_separation / 2.0
+        wl = vl / cfg.wheel_radius * cfg.dt
+        wr = vr / cfg.wheel_radius * cfg.dt
+        ds = cfg.wheel_radius * (wr + wl) / 2.0
+        dth = cfg.wheel_radius * (wr - wl) / cfg.wheel_separation
+        x += ds * math.cos(yaw + dth / 2.0)
+        y += ds * math.sin(yaw + dth / 2.0)
+        yaw = (yaw + dth + math.pi) % (2 * math.pi) - math.pi
+    return acts
+
+
+def test_parity_strict_quirks_trajectory():
+    """Full-trajectory cross-check of ``strict_quirks=True``: the oracle
+    independently re-implements the reference's literal committed behaviors
+    (first-track closing speed :793, lowest-K slice of the descending CP
+    sort :882-883, literal waypoint arrival box :1110-1127) and both
+    engines must agree step-by-step — scans, pose, rewards (incl. the +200
+    box-waypoint fires), termination, AND the top-K obstacle block (where
+    the lowest-K slice and the first-track speed are observable).
+
+    k_obstacles=2 with 3 pedestrians near the path forces the overflow
+    branch; the crossing crowd gives distinct per-track speeds so the
+    first-track divisor matters; the goal-steering profile makes the
+    literal box fire (the farm dynamic the milestone semantics fix)."""
+    cfg = make_config("crowd_none", "crossing", n_peds=3,
+                      ped_init=((0.45, 0.10), (-0.10, 0.50), (0.10, -0.60)),
+                      crowd_speed=0.04,
+                      k_obstacles=2, strict_quirks=True, max_steps=120)
+    table = np.array(cfg.direction_table(), float) * cfg.crowd_speed
+    actions = _steering_actions(cfg, 40)
+    traj = _run_pair(cfg, actions, ped_vel=table)
+    assert len(traj) > 10
+    _check(traj)
+    # top-K block parity at several steps (skip early steps where tracks
+    # are still appearing)
+    k = cfg.k_obstacles
+    for t in (8, 12, len(traj) - 1):
+        jo, no = traj[t][0], traj[t][1]
+        jtail = jo[-4 * k:].reshape(k, 4)
+        ntail = no[-4 * k:].reshape(k, 4)
+        np.testing.assert_allclose(jtail, ntail, atol=0.08,
+                                   err_msg=f"strict top-K block step {t}")
+    # the strict waypoint box must actually fire somewhere in the run
+    # (reward spike: +200 bonus on top of the -2/+1 shaping terms)
+    rewards = [r[2] for r in traj[1:]]
+    assert max(rewards) > 150, rewards

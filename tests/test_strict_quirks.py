@@ -73,10 +73,6 @@ def test_strict_topk_keeps_lowest_on_overflow():
     tr = _tracks(4, speeds=[0.02, 0.02, 0.02, 0.02])
     robot_pos = jnp.asarray(np.array([0.03, 0.0], np.float32))
     robot_prev = jnp.zeros(2, jnp.float32)
-    scans = jnp.full(cfg.n_scans, cfg.max_scan_range)
-    points = jnp.zeros((cfg.n_scans, 2), jnp.float32)
-
-    del scans, points
     cp_jax, _ = risk.collision_probabilities(cfg, tr, robot_pos, robot_prev)
     cp_all = np.asarray(cp_jax)[:4]
     assert len(np.unique(cp_all)) >= 3   # distinct CPs so the slice matters
