@@ -120,14 +120,17 @@ def segment_scans(cfg: EnvConfig, scans, points):
 
     idx = jnp.arange(n, dtype=jnp.int32)
     # per-run reductions as dense one-hot contractions: scatters
-    # (segment_sum) serialize on TPU, a (n x S) masked reduce vectorizes
+    # (segment_sum) serialize on TPU, a (n x S) masked reduce vectorizes.
+    # The three counts contract in ONE (n,S)x(n,3) matmul (MXU) instead of
+    # three separate masked passes over the (n, S) space; counts <= n = 359
+    # are exact in f32.
     onehot = (run_id[:, None] == jnp.arange(S)[None, :])        # (n, S)
-    seg_count = jnp.sum(onehot & occupied[:, None], axis=0,
-                        dtype=jnp.int32)
-    seg_count_o = jnp.sum(onehot & obs_pt[:, None], axis=0,
-                          dtype=jnp.int32)
-    seg_count_w = jnp.sum(onehot & wall_pt[:, None], axis=0,
-                          dtype=jnp.int32)
+    feats = jnp.stack([occupied, obs_pt, wall_pt],
+                      axis=-1).astype(jnp.float32)              # (n, 3)
+    counts = jnp.einsum("ns,nf->sf", onehot.astype(jnp.float32),
+                        feats).astype(jnp.int32)                # (S, 3)
+    seg_count, seg_count_o, seg_count_w = (counts[:, 0], counts[:, 1],
+                                           counts[:, 2])
     seg_start = jnp.min(jnp.where(onehot & occupied[:, None],
                                   idx[:, None], n), axis=0)
     seg_valid = seg_count > 0
