@@ -47,6 +47,8 @@ from crowdnav_tpu.utils import (EpisodeLogger, StepThroughput,
 def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
     if algo == "td3":
         kw = {}
+        if args is not None and getattr(args, "actor_lr", None):
+            kw.update(actor_lr=args.actor_lr)
         if args is not None and args.sigma_min is not None:
             kw.update(explore_sigma_min=args.sigma_min,
                       explore_decay_steps=int(args.sigma_decay_steps))
@@ -61,6 +63,8 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
         return TD3(TD3Config(**kw), obs_dim), False
     if algo == "ddpg":
         kw = {}
+        if args is not None and getattr(args, "actor_lr", None):
+            kw.update(actor_lr=args.actor_lr)
         if args is not None and getattr(args, "batch_size", None):
             kw.update(batch_size=args.batch_size)
         if args is not None and getattr(args, "explore_eps", None):
@@ -134,6 +138,10 @@ def main(argv=None):
                         "n_envs here — ratios of 1/8..1/64 converge in "
                         "practice (see TrainerConfig)")
     p.add_argument("--learn-start", type=int, default=1024)
+    p.add_argument("--actor-lr", type=float, default=None,
+                   help="actor learning rate override (td3/ddpg; default "
+                        "3e-4). A lower actor LR is the standard lever "
+                        "against DDPG's late actor-collapse")
     p.add_argument("--batch-size", type=int, default=None,
                    help="learner batch per update (reference: TD3 128, "
                         "DDPG/SAC/DQN 64). Larger batches with "

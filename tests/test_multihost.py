@@ -79,3 +79,41 @@ def test_two_process_sharded_training():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK proc={i}" in out, out[-3000:]
+
+
+def test_sharded_env_rollout_throughput_floor():
+    """Scaling-efficiency smoke (VERDICT r2 item 5): the env rollout is
+    fully data-parallel, so sharding a constant amount of work over the
+    8 virtual devices (2 physical cores) must not cost more than a bounded
+    overhead vs the 1-device plain Trainer. SCALING_r03.json carries the
+    full curve; this pins a conservative floor in CI (0.25x — virtual
+    8-on-2-core oversubscription measured ~0.66x)."""
+    import time
+
+    import jax
+
+    from crowdnav_tpu.agents import TD3, TD3Config
+    from crowdnav_tpu.envs import CrowdEnv, make_config
+    from crowdnav_tpu.parallel import (ShardedTrainer, Trainer,
+                                       TrainerConfig, make_mesh)
+
+    cfg = make_config("crowd_sparse", "crowd", max_steps=64)
+    env = CrowdEnv(cfg)
+    agent = TD3(TD3Config(hidden=32, batch_size=8, buffer_size=4096),
+                env.obs_dim)
+    tcfg = TrainerConfig(n_envs=64, rollout_chunk=8, learning=False)
+
+    def measure(trainer):
+        state = trainer.init(jax.random.PRNGKey(0))
+        run = trainer.make_jitted()
+        state = run(state)
+        jax.block_until_ready(state.obs)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state = run(state)
+        jax.block_until_ready(state.obs)
+        return 3 * 64 * 8 / (time.perf_counter() - t0)
+
+    base = measure(Trainer(env, agent, tcfg))
+    sharded = measure(ShardedTrainer(env, agent, tcfg, make_mesh(8)))
+    assert sharded > 0.25 * base, (sharded, base)

@@ -67,3 +67,22 @@ def test_sharded_trainer_8dev():
     state = run(state)
     assert int(state.replay.size) == 16 * 8
     assert np.isfinite(float(jnp.sum(state.obs)))
+
+
+def test_greedy_env_mask_matches_act_spectrum():
+    """The stratified-metric cohort mask must mirror the per-env epsilon
+    formula in TD3.act's spectrum branch (same hi/lo/log-spacing)."""
+    from crowdnav_tpu.parallel.runtime import greedy_env_mask
+
+    n = 64
+    agent = TD3(TD3Config(explore_uniform_eps=1.0,
+                          explore_uniform_eps_min=0.05,
+                          explore_eps_spectrum=True), obs_dim=8)
+    mask = np.asarray(greedy_env_mask(agent, n))
+    hi, lo = 1.0, 0.05
+    eps = hi * (lo / hi) ** (np.arange(n) / (n - 1))
+    np.testing.assert_array_equal(mask, eps <= 0.1)
+    assert 0 < mask.sum() < n            # a real split
+    # no spectrum -> every env is in the cohort (metric == overall)
+    agent2 = TD3(TD3Config(), obs_dim=8)
+    assert np.asarray(greedy_env_mask(agent2, n)).all()
