@@ -100,6 +100,34 @@ def main():
     res["track_cp_topk"] = timed_scan(
         perceive_body, (states.tracks, jnp.zeros(())), args.reps)
 
+    # 4b. sub-stages of perceive: tracker update alone, CP alone, top-K
+    segs0 = jax.jit(jax.vmap(
+        lambda sc, pt: risk.segment_scans(cfg, sc, pt)))(scans0, points0)
+
+    def upd_body(carry):
+        tracks, acc = carry
+        tr = jax.vmap(lambda t, sg: risk.update_tracks(cfg, t, sg))(
+            tracks, segs0)
+        return tr, acc + jnp.sum(tr.dist)
+    res["update_tracks"] = timed_scan(
+        upd_body, (states.tracks, jnp.zeros(())), args.reps)
+
+    def cp_body(carry):
+        acc = carry
+        cp, ego = jax.vmap(lambda t, st: risk.collision_probabilities(
+            cfg, t, st.pos, st.prev_pos))(states.tracks, states)
+        return acc + jnp.sum(cp) + jnp.sum(ego)
+    res["collision_probs"] = timed_scan(cp_body, jnp.zeros(()), args.reps)
+
+    def topk_body(carry):
+        acc = carry
+        cp = states.tracks.dist * 0.1
+        tcp, tpv = jax.vmap(lambda t, c, st: risk.select_top_k(
+            cfg, t, c, jnp.ones((), bool), st.pos))(states.tracks, cp,
+                                                    states)
+        return acc + jnp.sum(tcp) + jnp.sum(tpv)
+    res["select_top_k"] = timed_scan(topk_body, jnp.zeros(()), args.reps)
+
     # 5. full env step (everything + reward + reset select)
     res["full_step"] = timed_scan(
         lambda s: env.step_batch(s, actions).state, states, args.reps)
