@@ -34,9 +34,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 BASELINE_STEPS_PER_SEC = 6.7  # BASELINE.md wall-clock cap of the reference
 
-# dense f32 peak of one v5e chip (MXU native bf16 197 TFLOP/s; f32 ~1/4).
-# The training loop is f32, so f32 peak is the honest denominator.
+# dense peaks of one v5e chip: MXU native bf16 197 TFLOP/s; f32 ~1/4.
+# MFU uses the peak matching the configured compute dtype.
 PEAK_F32_FLOPS = 49.0e12
+PEAK_BF16_FLOPS = 197.0e12
 
 
 def analytic_flops(obs_dim: int, hidden: int, act_dim: int,
@@ -107,7 +108,8 @@ def bench_config(args, lidar_backend: str, learning: bool):
     cfg = make_config("crowd_dense", "crowd", jitter=1.0,
                       lidar_backend=lidar_backend)
     env = CrowdEnv(cfg)
-    agent = TD3(TD3Config(batch_size=args.batch_size), env.obs_dim)
+    agent = TD3(TD3Config(batch_size=args.batch_size,
+                          compute_dtype=args.dtype), env.obs_dim)
     tcfg = TrainerConfig(n_envs=args.n_envs, rollout_chunk=args.chunk,
                          learn_start=256, learning=learning,
                          updates_per_step=args.updates_per_step,
@@ -142,7 +144,7 @@ def bench_config(args, lidar_backend: str, learning: bool):
             "updates_per_step": args.updates_per_step,
             "batch_size": args.batch_size,
             "learning": learning, "lidar_backend": lidar_backend,
-            "jitter": 1.0,
+            "jitter": 1.0, "dtype": args.dtype,
         },
     }
     fl = analytic_flops(env.obs_dim, agent.cfg.hidden, env.action_dim,
@@ -153,7 +155,8 @@ def bench_config(args, lidar_backend: str, learning: bool):
     out["flops_breakdown"] = {
         k: round(v, 1) for k, v in fl.items() if k.endswith("env_step")
         or k.endswith("_est") or k in ("actor_fwd", "critic_fwd")}
-    out["mfu"] = round(fl["total_per_env_step"] * sps / PEAK_F32_FLOPS, 6)
+    peak = PEAK_BF16_FLOPS if args.dtype == "bfloat16" else PEAK_F32_FLOPS
+    out["mfu"] = round(fl["total_per_env_step"] * sps / peak, 6)
     per_step = args.n_envs * args.chunk
     if flops_chunk:
         # raw XLA number for cross-checking; known to undercount through
@@ -180,6 +183,9 @@ def main():
                         "recipe)")
     p.add_argument("--batch-size", type=int, default=2048,
                    help="learner batch per update")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="MLP compute dtype (see TD3Config.compute_dtype)")
     p.add_argument("--no-learn", action="store_true",
                    help="pure env throughput (no learner updates)")
     p.add_argument("--xla-only", action="store_true",

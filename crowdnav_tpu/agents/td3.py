@@ -69,6 +69,11 @@ class TD3Config:
     # permanent stream of goal-reaching transitions into the replay ring)
     # while the rest exploit. Overrides the anneal when set.
     explore_eps_spectrum: bool = False
+    # Compute dtype for the MLP matmuls ("float32" | "bfloat16"). Params,
+    # optimizer state, TD targets and losses stay float32; bfloat16 runs
+    # the forward/backward matmuls at the MXU's native rate (the learner
+    # is the dominant cost of the converging configuration).
+    compute_dtype: str = "float32"
 
 
 @struct.dataclass
@@ -89,9 +94,11 @@ class TD3:
         self.cfg = cfg
         self.obs_dim = obs_dim
         self.action_dim = action_dim
+        dtype = jnp.dtype(cfg.compute_dtype)
         self.actor = DeterministicActor(action_dim, cfg.hidden,
-                                        cfg.max_lin_vel, cfg.max_ang_vel)
-        self.critic = DoubleCritic(cfg.hidden)
+                                        cfg.max_lin_vel, cfg.max_ang_vel,
+                                        dtype=dtype)
+        self.critic = DoubleCritic(cfg.hidden, dtype=dtype)
         self.actor_tx = optax.adam(cfg.actor_lr)
         self.critic_tx = optax.adam(cfg.critic_lr)
 

@@ -49,6 +49,8 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
         kw = {}
         if args is not None and getattr(args, "actor_lr", None):
             kw.update(actor_lr=args.actor_lr)
+        if args is not None and getattr(args, "learner_dtype", None):
+            kw.update(compute_dtype=args.learner_dtype)
         if args is not None and args.sigma_min is not None:
             kw.update(explore_sigma_min=args.sigma_min,
                       explore_decay_steps=int(args.sigma_decay_steps))
@@ -138,6 +140,10 @@ def main(argv=None):
                         "n_envs here — ratios of 1/8..1/64 converge in "
                         "practice (see TrainerConfig)")
     p.add_argument("--learn-start", type=int, default=1024)
+    p.add_argument("--learner-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="TD3 MLP compute dtype (params/targets/losses stay "
+                        "float32); bfloat16 feeds the MXU at native rate")
     p.add_argument("--actor-lr", type=float, default=None,
                    help="actor learning rate override (td3/ddpg; default "
                         "3e-4). A lower actor LR is the standard lever "

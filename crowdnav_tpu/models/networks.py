@@ -9,7 +9,7 @@ what get sharded, so these modules stay shard-agnostic.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -18,34 +18,43 @@ import jax.numpy as jnp
 class DeterministicActor(nn.Module):
     """TD3/DDPG actor with the reference's action-head squashing
     (`td3.py:96-106`): sigmoid -> [0, v_max] linear vel, tanh ->
-    [-w_max, w_max] angular vel."""
+    [-w_max, w_max] angular vel.
+
+    ``dtype`` is the COMPUTE dtype (params always float32): bfloat16 runs
+    the matmuls at the MXU's native rate; the output is cast back to
+    float32 so env math and action clipping stay full-precision."""
 
     action_dim: int
     hidden: int = 256
     max_lin_vel: float = 0.22
     max_ang_vel: float = 2.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs):
-        x = nn.relu(nn.Dense(self.hidden)(obs))
-        x = nn.relu(nn.Dense(self.hidden)(x))
-        raw = nn.Dense(self.action_dim)(x)
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(obs))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        raw = nn.Dense(self.action_dim, dtype=self.dtype)(x)
+        raw = raw.astype(jnp.float32)
         lin = nn.sigmoid(raw[..., :1]) * self.max_lin_vel
         ang = nn.tanh(raw[..., 1:2]) * self.max_ang_vel
         return jnp.concatenate([lin, ang], axis=-1)
 
 
 class QCritic(nn.Module):
-    """State-action critic (`td3.py:109-126`)."""
+    """State-action critic (`td3.py:109-126`). ``dtype`` as in
+    ``DeterministicActor``; the Q output is cast to float32 so TD targets
+    and losses accumulate full-precision."""
 
     hidden: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs, action):
         x = jnp.concatenate([obs, action], axis=-1)
-        x = nn.relu(nn.Dense(self.hidden)(x))
-        x = nn.relu(nn.Dense(self.hidden)(x))
-        return nn.Dense(1)(x)
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        return nn.Dense(1, dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class DoubleCritic(nn.Module):
@@ -54,11 +63,12 @@ class DoubleCritic(nn.Module):
     schedule on the MXU."""
 
     hidden: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs, action):
-        q1 = QCritic(self.hidden, name="q1")(obs, action)
-        q2 = QCritic(self.hidden, name="q2")(obs, action)
+        q1 = QCritic(self.hidden, self.dtype, name="q1")(obs, action)
+        q2 = QCritic(self.hidden, self.dtype, name="q2")(obs, action)
         return q1, q2
 
 

@@ -166,3 +166,30 @@ def test_qtable_save_load_roundtrip(tmp_path):
     assert float(back.q[5, 1]) == 3.25
     assert bool(back.visited[5, 1])
     np.testing.assert_allclose(np.asarray(back.q), np.asarray(tab.q))
+
+
+def test_td3_bfloat16_compute_dtype():
+    """compute_dtype='bfloat16' must keep params/opt-state float32, emit
+    float32 actions/Q values, and run an update without NaNs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crowdnav_tpu.agents import TD3, TD3Config
+    from crowdnav_tpu.agents.replay import Transition
+
+    agent = TD3(TD3Config(hidden=32, batch_size=8,
+                          compute_dtype="bfloat16"), obs_dim=12)
+    state = jax.jit(agent.init)(jax.random.PRNGKey(0))
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(state.actor_params))
+    obs = jnp.ones((8, 12))
+    act = agent.act(state, obs, jax.random.PRNGKey(1))
+    assert act.dtype == jnp.float32
+    batch = Transition(obs=obs, action=act, reward=jnp.ones(8),
+                       next_obs=obs, done=jnp.zeros(8))
+    new_state, metrics = jax.jit(agent.update)(state, batch,
+                                               jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["critic_loss"]))
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree.leaves(new_state.critic_params))
