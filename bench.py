@@ -173,7 +173,7 @@ def main():
     # round-3 n_envs sweep (results/r3/README.md), not a learner-free
     # sprint: sample-reuse ratio 8 samples consumed per collected
     # transition, matching the converged 512-env recipe.
-    p.add_argument("--n-envs", type=int, default=8192)
+    p.add_argument("--n-envs", type=int, default=16384)
     p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--updates-per-step", type=int, default=32,
@@ -181,7 +181,7 @@ def main():
                         "--batch-size this sets the sample-reuse ratio "
                         "updates*batch/n_envs (default 8, the converging "
                         "recipe)")
-    p.add_argument("--batch-size", type=int, default=2048,
+    p.add_argument("--batch-size", type=int, default=4096,
                    help="learner batch per update")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
