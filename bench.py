@@ -113,7 +113,8 @@ def bench_config(args, lidar_backend: str, learning: bool):
     tcfg = TrainerConfig(n_envs=args.n_envs, rollout_chunk=args.chunk,
                          learn_start=256, learning=learning,
                          updates_per_step=args.updates_per_step,
-                         reset_bank=256)
+                         reset_bank=256,
+                         replay_obs_dtype=args.replay_obs_dtype)
     trainer = Trainer(env, agent, tcfg)
 
     state = trainer.init(jax.random.PRNGKey(0))
@@ -145,6 +146,7 @@ def bench_config(args, lidar_backend: str, learning: bool):
             "batch_size": args.batch_size,
             "learning": learning, "lidar_backend": lidar_backend,
             "jitter": 1.0, "dtype": args.dtype,
+            "replay_obs_dtype": args.replay_obs_dtype,
         },
     }
     fl = analytic_flops(env.obs_dim, agent.cfg.hidden, env.action_dim,
@@ -186,6 +188,9 @@ def main():
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="MLP compute dtype (see TD3Config.compute_dtype)")
+    p.add_argument("--replay-obs-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="replay obs storage dtype (see ReplayBuffer docs)")
     p.add_argument("--no-learn", action="store_true",
                    help="pure env throughput (no learner updates)")
     p.add_argument("--xla-only", action="store_true",

@@ -46,25 +46,37 @@ class ReplayState:
 
 
 class ReplayBuffer:
-    """Fixed-capacity uniform replay; block size = env batch size."""
+    """Fixed-capacity uniform replay; block size = env batch size.
+
+    ``obs_dtype``: storage dtype of the obs/next_obs rings. ``bfloat16``
+    halves the ring's HBM footprint AND removes a measured pathology: with
+    f32 storage, XLA hoists the learner matmuls' bf16 input conversion
+    ABOVE the sample gather, converting the entire multi-GB ring every
+    scan step (~39% of step time at 4,096 envs — the `convert.162/165`
+    ops in the round-3 xprof trace). bf16 rows gather straight into
+    native-rate MXU matmuls; observations are 3-decimal-rounded scans and
+    poses in [-3, 3], so bf16's ~0.4% relative error is below the env's
+    own rounding. Validated to converge (results/r3, td3_bf16replay run).
+    Rewards/dones/actions stay float32."""
 
     def __init__(self, capacity: int, obs_dim: int, act_dim: int | None,
-                 block: int = 1):
+                 block: int = 1, obs_dtype=jnp.float32):
         self.block = block
         self.n_blocks = max(1, -(-capacity // block))
         self.capacity = self.n_blocks * block
         self.obs_dim = obs_dim
         self.act_dim = act_dim  # None => discrete int32 actions
+        self.obs_dtype = jnp.dtype(obs_dtype)
 
     def init(self) -> ReplayState:
         nb, b = self.n_blocks, self.block
         act = (jnp.zeros((nb, b), jnp.int32) if self.act_dim is None
                else jnp.zeros((nb, b, self.act_dim), jnp.float32))
         return ReplayState(
-            obs=jnp.zeros((nb, b, self.obs_dim), jnp.float32),
+            obs=jnp.zeros((nb, b, self.obs_dim), self.obs_dtype),
             action=act,
             reward=jnp.zeros((nb, b), jnp.float32),
-            next_obs=jnp.zeros((nb, b, self.obs_dim), jnp.float32),
+            next_obs=jnp.zeros((nb, b, self.obs_dim), self.obs_dtype),
             done=jnp.zeros((nb, b), jnp.float32),
             head=jnp.zeros((), jnp.int32),
             size=jnp.zeros((), jnp.int32),

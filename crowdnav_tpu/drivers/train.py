@@ -107,7 +107,9 @@ def build(args):
     tcfg = TrainerConfig(n_envs=args.n_envs, rollout_chunk=args.chunk,
                          updates_per_step=args.updates_per_step,
                          learn_start=args.learn_start,
-                         reset_bank=reset_bank)
+                         reset_bank=reset_bank,
+                         replay_obs_dtype=getattr(args, "replay_obs_dtype",
+                                                  None) or "float32")
     if getattr(args, "multihost", False):
         # mesh over ALL global devices (jax.distributed must be initialized)
         trainer = ShardedTrainer(env, agent, tcfg, make_mesh(None),
@@ -144,6 +146,11 @@ def main(argv=None):
                    choices=["float32", "bfloat16"],
                    help="TD3 MLP compute dtype (params/targets/losses stay "
                         "float32); bfloat16 feeds the MXU at native rate")
+    p.add_argument("--replay-obs-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="replay obs/next_obs storage dtype; bfloat16 halves "
+                        "the ring and removes XLA's whole-ring convert "
+                        "pathology (agents/replay.py docs)")
     p.add_argument("--actor-lr", type=float, default=None,
                    help="actor learning rate override (td3/ddpg; default "
                         "3e-4). A lower actor LR is the standard lever "

@@ -43,6 +43,9 @@ class TrainerConfig:
                                   # env config's reset jitter to be nonzero
                                   # to add diversity); 0 = the env's
                                   # deterministic template reset
+    replay_obs_dtype: str = "float32"  # "bfloat16" halves the replay ring
+                                  # and avoids XLA's whole-ring bf16
+                                  # convert pathology (ReplayBuffer docs)
 
 
 @struct.dataclass
@@ -137,7 +140,8 @@ class Trainer:
         self.discrete = discrete
         act_dim = None if discrete else env.action_dim
         self.buffer = ReplayBuffer(agent.cfg.buffer_size, env.obs_dim,
-                                   act_dim, block=tcfg.n_envs)
+                                   act_dim, block=tcfg.n_envs,
+                                   obs_dtype=tcfg.replay_obs_dtype)
         self.greedy_mask = greedy_env_mask(agent, tcfg.n_envs)
 
     # ---- init ----
@@ -162,9 +166,11 @@ class Trainer:
             act = (f((bsz,), jnp.int32) if self.buffer.act_dim is None
                    else f((bsz, self.buffer.act_dim), jnp.float32))
             dummy = Transition(
-                obs=f((bsz, self.buffer.obs_dim), jnp.float32), action=act,
+                obs=f((bsz, self.buffer.obs_dim), self.buffer.obs_dtype),
+                action=act,
                 reward=f((bsz,), jnp.float32),
-                next_obs=f((bsz, self.buffer.obs_dim), jnp.float32),
+                next_obs=f((bsz, self.buffer.obs_dim),
+                           self.buffer.obs_dtype),
                 done=f((bsz,), jnp.float32))
             _, m = jax.eval_shape(self.agent.update, agent_state, dummy,
                                   jax.ShapeDtypeStruct((2,), jnp.uint32))

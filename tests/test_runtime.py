@@ -86,3 +86,31 @@ def test_greedy_env_mask_matches_act_spectrum():
     # no spectrum -> every env is in the cohort (metric == overall)
     agent2 = TD3(TD3Config(), obs_dim=8)
     assert np.asarray(greedy_env_mask(agent2, n)).all()
+
+
+def test_replay_obs_dtype_bfloat16():
+    """bf16 replay-obs storage: ring dtype, write-cast, sampled batch dtype,
+    and a full trainer chunk with learning (losses finite)."""
+    import jax.numpy as jnp
+
+    cfg = make_config("crowd_none", max_steps=8)
+    env = CrowdEnv(cfg)
+    agent = TD3(TD3Config(hidden=16, batch_size=4, buffer_size=64),
+                env.obs_dim)
+    trainer = Trainer(env, agent,
+                      TrainerConfig(n_envs=4, rollout_chunk=4,
+                                    learn_start=4,
+                                    replay_obs_dtype="bfloat16"))
+    state = trainer.init(jax.random.PRNGKey(0))
+    assert state.replay.obs.dtype == jnp.bfloat16
+    assert state.replay.next_obs.dtype == jnp.bfloat16
+    assert state.replay.reward.dtype == jnp.float32
+    state = trainer.make_jitted()(state)
+    state = trainer.make_jitted()(state)      # second chunk hits the learner
+    batch = trainer.buffer.sample(state.replay, jax.random.PRNGKey(1), 4)
+    assert batch.obs.dtype == jnp.bfloat16
+    summary, _ = trainer.drain_stats(state)
+    assert np.isfinite(summary["critic_loss"])
+    # stored rows match the env obs to bf16 resolution
+    row = np.asarray(batch.obs, np.float32)
+    assert np.all(np.abs(row) <= 10.0)
