@@ -170,8 +170,14 @@ def segment_scans(cfg: EnvConfig, scans, points):
         in_first, seg_start + center_rank,
         start_last + (center_rank - count_first))
     center_beam = jnp.clip(center_beam, 0, n - 1)
-    center_dist = scans[center_beam]
-    center_pos = points[center_beam]
+    # one-hot contraction instead of scans[center_beam]: the vmapped
+    # per-row dynamic gather lowers to a ~3 ms/step kernel on TPU at 4k
+    # envs (xprof fusion.792, round 3); an (S, n) one-hot matmul is exact
+    # (each row sums exactly one element) and rides the MXU
+    center_oh = (center_beam[:, None]
+                 == jnp.arange(n)[None, :]).astype(jnp.float32)   # (S, n)
+    center_dist = center_oh @ scans
+    center_pos = center_oh @ points
 
     # -- 4. type confirmation (:568-620) --
     n_valid = jnp.sum(seg_valid.astype(jnp.int32))
@@ -215,8 +221,12 @@ def update_tracks(cfg: EnvConfig, tracks: TrackState,
     best_iou = jnp.max(iou, axis=1)
     matched = tracks.valid & (best_iou > 0.0)
 
-    new_pos = segs.center_pos[best_j]
-    new_dist = segs.center_dist[best_j]
+    # one-hot matmuls instead of [best_j] gathers (TPU gather pathology —
+    # see segment_scans center_oh comment)
+    bj_oh = (best_j[:, None] == jnp.arange(S)[None, :]) \
+        .astype(jnp.float32)                                # (T, S)
+    new_pos = bj_oh @ segs.center_pos
+    new_dist = bj_oh @ segs.center_dist
     delta = tracks.pos - new_pos                            # prev - curr
     speed = jnp.linalg.norm(delta, axis=-1) / cfg.dt
     upd = TrackState(
@@ -337,10 +347,15 @@ def select_top_k(cfg: EnvConfig, tracks: TrackState, cp, live, robot_pos):
         top_cp = top_cp[order]
         top_idx = top_idx[order]
     picked_valid = live & jnp.isfinite(top_cp)
-    top_cp = jnp.where(picked_valid, cp[top_idx], 0.0)
+    # one-hot matmuls instead of [top_idx] gathers (TPU gather pathology —
+    # see segment_scans center_oh comment)
+    T = tracks.valid.shape[0]
+    top_oh = (top_idx[:, None] == jnp.arange(T)[None, :]) \
+        .astype(jnp.float32)                                # (K, T)
+    top_cp = jnp.where(picked_valid, top_oh @ cp, 0.0)
     pad = jnp.concatenate([robot_pos, jnp.zeros(2, robot_pos.dtype)])
-    entries = jnp.concatenate([tracks.pos[top_idx],
-                               tracks.vel[top_idx]], axis=-1)
+    entries = jnp.concatenate([top_oh @ tracks.pos,
+                               top_oh @ tracks.vel], axis=-1)
     top_pose_vel = jnp.where(picked_valid[:, None], entries, pad[None, :])
     return top_cp, top_pose_vel
 
