@@ -41,6 +41,13 @@ from crowdnav_tpu.envs.config import EnvConfig
 from crowdnav_tpu.envs.world import TrackState
 from crowdnav_tpu.ops import geom
 
+# Exact one-hot contraction. TPU's DEFAULT matmul precision feeds the MXU
+# bf16, which would quantize the selected values (and misround integer
+# counts > 256, bf16's exact-integer limit); HIGHEST keeps these selection
+# matmuls bit-exact while still vectorizing on the MXU.
+def _exact_select(onehot, vals):
+    return jnp.matmul(onehot, vals, precision=jax.lax.Precision.HIGHEST)
+
 
 class Segments(NamedTuple):
     """Per-segment (run) aggregates, fixed ``max_segments`` slots."""
@@ -128,7 +135,9 @@ def segment_scans(cfg: EnvConfig, scans, points):
     feats = jnp.stack([occupied, obs_pt, wall_pt],
                       axis=-1).astype(jnp.float32)              # (n, 3)
     counts = jnp.einsum("ns,nf->sf", onehot.astype(jnp.float32),
-                        feats).astype(jnp.int32)                # (S, 3)
+                        feats,
+                        precision=jax.lax.Precision.HIGHEST
+                        ).astype(jnp.int32)                     # (S, 3)
     seg_count, seg_count_o, seg_count_w = (counts[:, 0], counts[:, 1],
                                            counts[:, 2])
     seg_start = jnp.min(jnp.where(onehot & occupied[:, None],
@@ -176,8 +185,8 @@ def segment_scans(cfg: EnvConfig, scans, points):
     # (each row sums exactly one element) and rides the MXU
     center_oh = (center_beam[:, None]
                  == jnp.arange(n)[None, :]).astype(jnp.float32)   # (S, n)
-    center_dist = center_oh @ scans
-    center_pos = center_oh @ points
+    center_dist = _exact_select(center_oh, scans)
+    center_pos = _exact_select(center_oh, points)
 
     # -- 4. type confirmation (:568-620) --
     n_valid = jnp.sum(seg_valid.astype(jnp.int32))
@@ -225,8 +234,8 @@ def update_tracks(cfg: EnvConfig, tracks: TrackState,
     # see segment_scans center_oh comment)
     bj_oh = (best_j[:, None] == jnp.arange(S)[None, :]) \
         .astype(jnp.float32)                                # (T, S)
-    new_pos = bj_oh @ segs.center_pos
-    new_dist = bj_oh @ segs.center_dist
+    new_pos = _exact_select(bj_oh, segs.center_pos)
+    new_dist = _exact_select(bj_oh, segs.center_dist)
     delta = tracks.pos - new_pos                            # prev - curr
     speed = jnp.linalg.norm(delta, axis=-1) / cfg.dt
     upd = TrackState(
@@ -256,8 +265,8 @@ def update_tracks(cfg: EnvConfig, tracks: TrackState,
 
     def pick(vals):                 # (S, ...) -> (T, ...) via dense matmul
         if vals.ndim == 1:
-            return selT @ vals.astype(upd.pos.dtype)
-        return selT @ vals.astype(upd.pos.dtype)
+            return _exact_select(selT, vals.astype(upd.pos.dtype))
+        return _exact_select(selT, vals.astype(upd.pos.dtype))
 
     ins_pos = pick(segs.center_pos)
     ins_dist = pick(segs.center_dist)
@@ -352,10 +361,11 @@ def select_top_k(cfg: EnvConfig, tracks: TrackState, cp, live, robot_pos):
     T = tracks.valid.shape[0]
     top_oh = (top_idx[:, None] == jnp.arange(T)[None, :]) \
         .astype(jnp.float32)                                # (K, T)
-    top_cp = jnp.where(picked_valid, top_oh @ cp, 0.0)
+    top_cp = jnp.where(picked_valid, _exact_select(top_oh, cp), 0.0)
     pad = jnp.concatenate([robot_pos, jnp.zeros(2, robot_pos.dtype)])
-    entries = jnp.concatenate([top_oh @ tracks.pos,
-                               top_oh @ tracks.vel], axis=-1)
+    entries = jnp.concatenate([_exact_select(top_oh, tracks.pos),
+                               _exact_select(top_oh, tracks.vel)],
+                              axis=-1)
     top_pose_vel = jnp.where(picked_valid[:, None], entries, pad[None, :])
     return top_cp, top_pose_vel
 
