@@ -102,8 +102,11 @@ class DDPG:
                                           minval=lo, maxval=hi)
                 if cfg.explore_eps_spectrum and action.ndim > 1:
                     n = action.shape[0]
-                    hi_e, lo_e = (cfg.explore_uniform_eps,
-                                  cfg.explore_uniform_eps_min)
+                    # same lo resolution as TD3.act and
+                    # runtime.greedy_env_mask (0.0 counts as unset) so the
+                    # stratified cohort mask matches the behavior policy
+                    hi_e = cfg.explore_uniform_eps
+                    lo_e = cfg.explore_uniform_eps_min or 0.01
                     frac = jnp.arange(n, dtype=jnp.float32) / max(n - 1, 1)
                     eps = hi_e * (lo_e / hi_e) ** frac
                     eps = eps.reshape((n,) + (1,) * (action.ndim - 1))

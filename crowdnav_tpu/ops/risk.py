@@ -264,8 +264,6 @@ def update_tracks(cfg: EnvConfig, tracks: TrackState,
     selT = sel.astype(upd.pos.dtype)
 
     def pick(vals):                 # (S, ...) -> (T, ...) via dense matmul
-        if vals.ndim == 1:
-            return _exact_select(selT, vals.astype(upd.pos.dtype))
         return _exact_select(selT, vals.astype(upd.pos.dtype))
 
     ins_pos = pick(segs.center_pos)

@@ -17,7 +17,11 @@ cross-check): the first live track's closing speed divides every track's
 TTC (`environment_stage_1_nobonus.py:793`), top-K overflow keeps the
 LOWEST-K slice of the descending CP sort (:882-883), and the waypoint +200
 uses the literal ±0.2 arrival box (:1110-1127) instead of the milestone
-trail.
+trail. Out of strict-mode scope (both engines use the intended per-track
+form even under strict_quirks): the reference's loop-final collision-cone
+shift — :798-815 reuses the LAST track's vo_change when shifting every
+track's collision point, an iteration-order artifact of the uuid dict
+that has no stable analog in a slot tracker.
 
 The tracker is slot-based (fixed ``max_tracks`` slots, insertion takes the
 lowest free slot) so "first live track" is well-defined and matches the

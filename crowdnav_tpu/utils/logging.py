@@ -29,9 +29,23 @@ class EpisodeLogger:
         os.makedirs(outdir, exist_ok=True)
         self.extra = list(extra_headers or [])
         self.path = os.path.join(outdir, filename + ".csv")
+        want = HEADERS + self.extra
         if not os.path.isfile(self.path):
             with open(self.path, "w", newline="") as fp:
-                csv.writer(fp).writerow(HEADERS + self.extra)
+                csv.writer(fp).writerow(want)
+        else:
+            # resuming into a CSV written before extra_headers existed (or
+            # with different extras) would silently append wider rows than
+            # the header declares; reconcile by rewriting the header and
+            # padding existing short rows
+            with open(self.path, newline="") as fp:
+                rows = list(csv.reader(fp))
+            if rows and rows[0] != want:
+                body = [r + [""] * (len(want) - len(r)) for r in rows[1:]]
+                with open(self.path, "w", newline="") as fp:
+                    w = csv.writer(fp)
+                    w.writerow(want)
+                    w.writerows(body)
 
     def record(self, episode_number, success, failure, reward, steps,
                ego_safety=None, social_safety=None, timelapse=None,

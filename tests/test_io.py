@@ -24,6 +24,25 @@ def test_episode_logger_schema(tmp_path):
     assert len(lines) == 3
 
 
+def test_episode_logger_header_reconcile(tmp_path):
+    """Resuming into a CSV written without extra columns must rewrite the
+    header (and pad old rows) instead of appending wider rows (ADVICE r3)."""
+    lg = EpisodeLogger(str(tmp_path), "td3_training")
+    lg.record(1, True, False, 10.0, 5)
+    lg2 = EpisodeLogger(str(tmp_path), "td3_training",
+                        extra_headers=["greedy_episodes",
+                                       "greedy_success_rate"])
+    lg2.record(2, False, True, -5.0, 9, extra=[100, 0.5])
+    lines = open(lg2.path).read().strip().split("\n")
+    header = lines[0].split(",")
+    assert header[-2:] == ["greedy_episodes", "greedy_success_rate"]
+    n_cols = len(header)
+    # no row may be WIDER than the header (the corruption mode); the
+    # pre-existing row was padded to full width by the reconcile
+    assert all(len(line.split(",")) <= n_cols for line in lines[1:])
+    assert len(lines[1].split(",")) == n_cols
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = make_config("crowd_none", "static", max_steps=10)
     env = SimpleEnv(cfg)
