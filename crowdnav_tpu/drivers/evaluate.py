@@ -46,7 +46,8 @@ SUITES = {
 
 def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
                       n_envs: int, max_steps: int, seed: int,
-                      jitter: float = 0.0, ablation: str | None = None):
+                      jitter: float = 0.0, ablation: str | None = None,
+                      agent_cfg: dict | None = None):
     """One scenario, N envs. With ``jitter`` > 0 every env (and every
     auto-reset, via the reset bank) starts from a distinct randomized spawn
     — the batched stand-in for the episode-to-episode physics variation of
@@ -57,7 +58,12 @@ def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
                       ablation=ablation)
     env_cls = CrowdEnv if algo in RISK_ENV_ALGOS else SimpleEnv
     env = env_cls(cfg)
-    agent, discrete = _build_agent(algo, env.obs_dim, n_envs)
+    if agent_cfg is not None:
+        from crowdnav_tpu.drivers.train import build_agent_from_metadata
+        agent, discrete = build_agent_from_metadata(algo, agent_cfg,
+                                                    env.obs_dim, n_envs)
+    else:
+        agent, discrete = _build_agent(algo, env.obs_dim, n_envs)
     tcfg = TrainerConfig(n_envs=n_envs, rollout_chunk=max_steps,
                          learning=False,
                          reset_bank=n_envs if jitter else 0)
@@ -76,7 +82,8 @@ def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
 
 
 def trace_scenario(algo: str, agent_state, world: str, behavior: str,
-                   max_steps: int, seed: int, outdir: str):
+                   max_steps: int, seed: int, outdir: str,
+                   agent_cfg: dict | None = None):
     """Single-env greedy rollout with full state capture: writes the
     reference's per-step trajectory CSV (`environment_stage_1_original.py:
     284-286`) and a path plot + final-frame render (the RViz stand-in)."""
@@ -85,7 +92,11 @@ def trace_scenario(algo: str, agent_state, world: str, behavior: str,
     cfg = make_config(world, behavior, max_steps=max_steps)
     env_cls = CrowdEnv if algo in RISK_ENV_ALGOS else SimpleEnv
     env = env_cls(cfg)
-    agent, _ = _build_agent(algo, env.obs_dim, 1)
+    if agent_cfg is not None:
+        from crowdnav_tpu.drivers.train import build_agent_from_metadata
+        agent, _ = build_agent_from_metadata(algo, agent_cfg, env.obs_dim, 1)
+    else:
+        agent, _ = _build_agent(algo, env.obs_dim, 1)
     a_state = agent_state if agent_state is not None \
         else agent.init(jax.random.PRNGKey(seed))
     policy = lambda obs: agent.act(a_state, obs, explore=False)
@@ -134,7 +145,28 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     agent_state = None
+    agent_cfg = None
     if args.checkpoint:
+        from crowdnav_tpu.utils.checkpoint import (load_run_metadata,
+                                                   restore_agent_state)
+        # checkpoint metadata (run_config.json, the reference DQN's
+        # params-JSON pattern) pins algo/ablation/agent hyperparameters:
+        # evaluation rebuilds the exact training-time agent instead of
+        # silently assuming defaults, and errors on conflicting CLI flags
+        meta = load_run_metadata(args.checkpoint)
+        if meta is not None:
+            if meta["algo"] != args.algo:
+                raise SystemExit(
+                    f"--algo {args.algo} conflicts with checkpoint "
+                    f"metadata (trained as {meta['algo']!r})")
+            ckpt_abl = meta.get("ablation")
+            if args.ablation is None:
+                args.ablation = ckpt_abl
+            elif args.ablation != ckpt_abl:
+                raise SystemExit(
+                    f"--ablation {args.ablation} conflicts with checkpoint "
+                    f"metadata (trained with ablation={ckpt_abl!r})")
+            agent_cfg = meta["agent_config"]
         # restore ONLY the agent-state subtree against a shape template
         # (the training run's env batch / replay sizes need not match)
         world, behavior = SUITES[args.suite][0]
@@ -142,8 +174,18 @@ def main(argv=None):
                           ablation=args.ablation)
         env_cls = CrowdEnv if args.algo in RISK_ENV_ALGOS else SimpleEnv
         env = env_cls(cfg)
-        agent, discrete = _build_agent(args.algo, env.obs_dim, args.n_envs)
-        from crowdnav_tpu.utils.checkpoint import restore_agent_state
+        if meta is not None and meta.get("obs_dim") not in (
+                None, env.obs_dim):
+            raise SystemExit(
+                f"checkpoint obs_dim {meta['obs_dim']} != eval env "
+                f"obs_dim {env.obs_dim} (world/ablation mismatch)")
+        if agent_cfg is not None:
+            from crowdnav_tpu.drivers.train import build_agent_from_metadata
+            agent, discrete = build_agent_from_metadata(
+                args.algo, agent_cfg, env.obs_dim, args.n_envs)
+        else:
+            agent, discrete = _build_agent(args.algo, env.obs_dim,
+                                           args.n_envs)
         agent_state = restore_agent_state(
             args.checkpoint, jax.jit(agent.init)(jax.random.PRNGKey(0)),
             step=args.checkpoint_step)
@@ -154,14 +196,15 @@ def main(argv=None):
         summary, agent_state = evaluate_scenario(
             args.algo, agent_state, world, behavior, args.n_envs,
             args.max_steps, args.seed + i, jitter=args.jitter,
-            ablation=args.ablation)
+            ablation=args.ablation, agent_cfg=agent_cfg)
         logger.record_summary(summary, 0, summary["timelapse"])
         print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in summary.items()}), flush=True)
         results.append(summary)
         if args.trajectory:
             trace_scenario(args.algo, agent_state, world, behavior,
-                           args.max_steps, args.seed + i, args.outdir)
+                           args.max_steps, args.seed + i, args.outdir,
+                           agent_cfg=agent_cfg)
     overall = sum(r["success_rate"] for r in results) / len(results)
     print(json.dumps({"suite": args.suite, "overall_success_rate":
                       round(overall, 4)}))

@@ -89,6 +89,47 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
 
 RISK_ENV_ALGOS = {"td3", "ddpg"}
 
+_CONFIG_CLS = {"td3": TD3Config, "ddpg": DDPGConfig, "sac": SACConfig,
+               "dqn": DQNConfig}
+
+
+def build_agent_from_metadata(algo: str, cfg_dict: dict, obs_dim: int,
+                              n_envs: int):
+    """Rebuild the exact training-time agent from checkpoint metadata
+    (`run_config.json` — the reference DQN's params-JSON pattern,
+    `start_dqn_training.py:134-144`). Unknown keys are dropped so old
+    metadata survives config-field evolution."""
+    import dataclasses
+    cls = _CONFIG_CLS[algo]
+    fields = {f.name for f in dataclasses.fields(cls)}
+    cfg = cls(**{k: v for k, v in cfg_dict.items() if k in fields})
+    if algo == "td3":
+        return TD3(cfg, obs_dim), False
+    if algo == "ddpg":
+        return DDPG(cfg, obs_dim, n_envs=n_envs), False
+    if algo == "sac":
+        return SAC(cfg, obs_dim), False
+    return DQN(cfg, obs_dim), True
+
+
+def run_metadata(args, trainer) -> dict:
+    """Everything evaluate/resume needs to rebuild the agent + env."""
+    import dataclasses
+    return {
+        "algo": args.algo,
+        "agent_config": dataclasses.asdict(trainer.agent.cfg),
+        "obs_dim": trainer.env.obs_dim,
+        "world": args.world,
+        "behavior": args.behavior,
+        "ablation": getattr(args, "ablation", None),
+        "jitter": getattr(args, "jitter", 0.0),
+        "n_envs": args.n_envs,
+        "updates_per_step": args.updates_per_step,
+        "replay_obs_dtype": getattr(args, "replay_obs_dtype", None)
+        or "float32",
+        "seed": args.seed,
+    }
+
 
 def build(args):
     cfg = make_config(args.world, args.behavior,
@@ -243,6 +284,15 @@ def main(argv=None):
         print(f"resumed from step {steps_done}", flush=True)
     run = trainer.make_jitted()
     is_main = jax.process_index() == 0
+    if is_main:
+        from crowdnav_tpu.utils import save_run_metadata
+        meta = run_metadata(args, trainer)
+        ckpt_dirs = [f"{args.outdir}/ckpt_{args.algo}",
+                     f"{args.outdir}/agent_ckpt_{args.algo}"]
+        if args.snapshot_every_chunks:
+            ckpt_dirs.append(f"{args.outdir}/agent_snapshots_{args.algo}")
+        for d in ckpt_dirs:
+            save_run_metadata(d, meta)
     logger = EpisodeLogger(args.outdir, f"{args.algo}_training",
                            extra_headers=["greedy_episodes",
                                           "greedy_success_rate"]) \

@@ -149,6 +149,15 @@ def main(argv=None):
                           "sps": round(steps_per_chunk / (time.time() - t0),
                                        1)}), flush=True)
     save_table(f"{args.outdir}/{args.algo}_qtable", tab)
+    # hyperparameter JSON next to the table (the reference DQN's pattern,
+    # start_dqn_training.py:134-144)
+    import dataclasses
+
+    from crowdnav_tpu.utils import save_run_metadata
+    save_run_metadata(args.outdir, {
+        "algo": args.algo, "agent_config": dataclasses.asdict(algo.cfg),
+        "world": args.world, "behavior": args.behavior,
+        "n_envs": args.n_envs, "seed": args.seed})
     return carry
 
 

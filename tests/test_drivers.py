@@ -32,3 +32,47 @@ def test_train_driver_checkpoints_and_resumes(tmp_path):
     # resume: picks up from saved step, runs further chunks without error
     state = train.main(_args(outdir, ["--env-steps", "128", "--resume"]))
     assert state is not None
+
+
+def test_checkpoint_metadata_round_trip(tmp_path):
+    """A checkpoint trained with NON-DEFAULT agent hyperparameters must
+    evaluate correctly with no extra CLI flags: run_config.json (the
+    reference DQN's params-JSON pattern, start_dqn_training.py:134-144)
+    pins algo/ablation/agent config, and conflicting flags error out."""
+    import json
+
+    import pytest
+
+    from crowdnav_tpu.drivers import evaluate
+
+    outdir = str(tmp_path)
+    train.main(["--algo", "td3", "--world", "crowd_none", "--behavior",
+                "static", "--n-envs", "8", "--chunk", "4", "--env-steps",
+                "64", "--max-steps", "16", "--learn-start", "16",
+                "--ckpt-every-chunks", "0", "--outdir", outdir,
+                "--platform", "cpu", "--ablation", "no_cp",
+                "--batch-size", "16"])
+    ckpt = f"{outdir}/agent_ckpt_td3"
+    meta = json.load(open(f"{ckpt}/run_config.json"))
+    assert meta["agent_config"]["batch_size"] == 16
+    assert meta["ablation"] == "no_cp"
+
+    # no --ablation / --batch-size flags: metadata reconstructs the agent
+    # (a default-config rebuild would fail the restore on no_cp's obs_dim)
+    results = evaluate.main(["--algo", "td3", "--checkpoint", ckpt,
+                             "--suite", "train", "--n-envs", "8",
+                             "--max-steps", "16", "--outdir",
+                             f"{outdir}/eval", "--platform", "cpu"])
+    assert results and "success_rate" in results[0]
+
+    # conflicting flags are an error, not a silent wrong restore
+    with pytest.raises(SystemExit):
+        evaluate.main(["--algo", "td3", "--checkpoint", ckpt,
+                       "--suite", "train", "--ablation", "no_cpdto",
+                       "--n-envs", "8", "--max-steps", "16",
+                       "--outdir", f"{outdir}/eval2", "--platform", "cpu"])
+    with pytest.raises(SystemExit):
+        evaluate.main(["--algo", "ddpg", "--checkpoint", ckpt,
+                       "--suite", "train", "--n-envs", "8",
+                       "--max-steps", "16",
+                       "--outdir", f"{outdir}/eval3", "--platform", "cpu"])
