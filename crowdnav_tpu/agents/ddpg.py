@@ -117,10 +117,21 @@ class DDPG:
                 action = jnp.where(pick, unif, action)
         return jnp.clip(action, lo, hi), state.replace(ou_state=ou)
 
-    def update(self, state: DDPGState, batch, key=None):
+    def update(self, state: DDPGState, batch, key=None,
+               axis_name: str | None = None):
         """One DDPG step (`ddpg.py:198-243`): critic MSE to the target
-        bootstrap, actor ascent on Q, soft target updates every step."""
+        bootstrap, actor ascent on Q, soft target updates every step.
+        ``axis_name``: DP-sharded learner inside a vma-checked shard_map —
+        grads arrive auto-psummed by the AD transpose and are divided by
+        the axis size; metrics pmean (see TD3.update for the full
+        semantics)."""
         cfg = self.cfg
+        if axis_name:
+            n_shards = jax.lax.psum(1, axis_name)
+            gnorm = lambda g: jax.tree.map(lambda x: x / n_shards, g)
+            pmean = lambda t: jax.lax.pmean(t, axis_name)
+        else:
+            gnorm = pmean = lambda t: t
         obs, action, reward, next_obs, done = (
             batch.obs, batch.action, batch.reward, batch.next_obs, batch.done)
         next_action = self.actor.apply(state.actor_target, next_obs)
@@ -133,6 +144,7 @@ class DDPG:
             return jnp.mean((q - y) ** 2)
 
         c_loss, c_grads = jax.value_and_grad(critic_loss)(state.critic_params)
+        c_grads = gnorm(c_grads)
         c_up, critic_opt = self.critic_tx.update(c_grads, state.critic_opt,
                                                  state.critic_params)
         critic_params = optax.apply_updates(state.critic_params, c_up)
@@ -142,6 +154,7 @@ class DDPG:
             return -jnp.mean(self.critic.apply(critic_params, obs, pi))
 
         a_loss, a_grads = jax.value_and_grad(actor_loss)(state.actor_params)
+        a_grads = gnorm(a_grads)
         a_up, actor_opt = self.actor_tx.update(a_grads, state.actor_opt,
                                                state.actor_params)
         actor_params = optax.apply_updates(state.actor_params, a_up)
@@ -156,4 +169,5 @@ class DDPG:
             actor_opt=actor_opt,
             critic_opt=critic_opt,
         )
-        return new_state, {"critic_loss": c_loss, "actor_loss": a_loss}
+        return new_state, pmean({"critic_loss": c_loss,
+                                 "actor_loss": a_loss})

@@ -80,9 +80,19 @@ class DQN:
                           self.cfg.epsilon_min)
         return state.replace(epsilon=eps)
 
-    def update(self, state: DQNState, batch, key=None):
-        """One DQN step (`deepq.py:219-266`)."""
+    def update(self, state: DQNState, batch, key=None,
+               axis_name: str | None = None):
+        """One DQN step (`deepq.py:219-266`). ``axis_name``: DP-sharded
+        learner inside a vma-checked shard_map — grads arrive auto-psummed
+        by the AD transpose and are divided by the axis size; metrics
+        pmean (see TD3.update for the full semantics)."""
         cfg = self.cfg
+        if axis_name:
+            n_shards = jax.lax.psum(1, axis_name)
+            gnorm = lambda g: jax.tree.map(lambda x: x / n_shards, g)
+            pmean = lambda t: jax.lax.pmean(t, axis_name)
+        else:
+            gnorm = pmean = lambda t: t
         obs, action, reward, next_obs, done = (
             batch.obs, batch.action, batch.reward, batch.next_obs, batch.done)
         next_q = self.net.apply(state.target_params, next_obs)
@@ -95,6 +105,7 @@ class DQN:
             return jnp.mean((q_taken - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = gnorm(grads)
         updates, opt = self.tx.update(grads, state.opt, state.params)
         params = optax.apply_updates(state.params, updates)
         step = state.step + 1
@@ -103,4 +114,4 @@ class DQN:
             lambda t, o: jnp.where(copy_now, o, t), state.target_params,
             params)
         return state.replace(params=params, target_params=target_params,
-                             opt=opt, step=step), {"loss": loss}
+                             opt=opt, step=step), pmean({"loss": loss})

@@ -124,11 +124,23 @@ class ReplayBuffer:
         """Uniform with-replacement sample (`td3.py:31-34` samples without
         replacement from a Python list; at production buffer sizes the
         distinction is immaterial and with-replacement keeps the kernel a
-        single gather)."""
+        single gather).
+
+        Shard-aware: the block width is read off the array shape, so inside
+        ``shard_map`` (ring sharded ``P(None, "env")`` over the block axis)
+        each device samples from its OWN envs' columns only — no cross-
+        device replay gather, the whole point of the DP-sharded learner.
+        Writes are block-aligned (``size`` is always a whole number of
+        blocks), so the filled-row count scales exactly per shard, and
+        every shard's columns fill at the same rate — the local sample
+        stays uniform over the device's partition of the global ring."""
+        block = state.reward.shape[1]
+        filled = state.size // self.block      # whole blocks written
+        local_rows = filled * block
         idx = jax.random.randint(key, (batch_size,), 0,
-                                 jnp.maximum(state.size, 1))
-        bi = idx // self.block
-        ri = idx % self.block
+                                 jnp.maximum(local_rows, 1))
+        bi = idx // block
+        ri = idx % block
         return Transition(
             obs=state.obs[bi, ri],
             action=state.action[bi, ri],
@@ -136,3 +148,11 @@ class ReplayBuffer:
             next_obs=state.next_obs[bi, ri],
             done=state.done[bi, ri],
         )
+
+    def pspecs(self, axis: str = "env") -> ReplayState:
+        """PartitionSpec pytree for shard_map: ring arrays shard the block
+        (=env) axis, ring-position scalars replicate."""
+        from jax.sharding import PartitionSpec as P
+        blk = P(None, axis)
+        return ReplayState(obs=blk, action=blk, reward=blk, next_obs=blk,
+                           done=blk, head=P(), size=P())

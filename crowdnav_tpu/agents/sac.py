@@ -108,9 +108,19 @@ class SAC:
         hi = jnp.array([self.cfg.max_lin_vel, self.cfg.max_ang_vel])
         return jnp.clip(action, lo, hi)
 
-    def update(self, state: SACState, batch, key: jax.Array):
-        """One SAC step (`sac.py:231-290`)."""
+    def update(self, state: SACState, batch, key: jax.Array,
+               axis_name: str | None = None):
+        """One SAC step (`sac.py:231-290`). ``axis_name``: DP-sharded
+        learner inside a vma-checked shard_map — grads arrive auto-psummed
+        by the AD transpose and are divided by the axis size; metrics
+        pmean (see TD3.update for the full semantics)."""
         cfg = self.cfg
+        if axis_name:
+            n_shards = jax.lax.psum(1, axis_name)
+            gnorm = lambda g: jax.tree.map(lambda x: x / n_shards, g)
+            pmean = lambda t: jax.lax.pmean(t, axis_name)
+        else:
+            gnorm = pmean = lambda t: t
         obs, action, reward, next_obs, done = (
             batch.obs, batch.action, batch.reward, batch.next_obs, batch.done)
 
@@ -124,6 +134,7 @@ class SAC:
             return jnp.mean((q - next_q) ** 2)
 
         ql, q_grads = jax.value_and_grad(q_loss)(state.soft_q_params)
+        q_grads = gnorm(q_grads)
         q_up, soft_q_opt = self.soft_q_tx.update(q_grads, state.soft_q_opt,
                                                  state.soft_q_params)
         soft_q_params = optax.apply_updates(state.soft_q_params, q_up)
@@ -138,6 +149,7 @@ class SAC:
             return jnp.mean((v - next_value) ** 2)
 
         vl, v_grads = jax.value_and_grad(v_loss)(state.value_params)
+        v_grads = gnorm(v_grads)
         v_up, value_opt = self.value_tx.update(v_grads, state.value_opt,
                                                state.value_params)
         value_params = optax.apply_updates(state.value_params, v_up)
@@ -155,6 +167,7 @@ class SAC:
             return loss
 
         pl, p_grads = jax.value_and_grad(policy_loss)(state.actor_params)
+        p_grads = gnorm(p_grads)
         p_up, actor_opt = self.actor_tx.update(p_grads, state.actor_opt,
                                                state.actor_params)
         actor_params = optax.apply_updates(state.actor_params, p_up)
@@ -170,4 +183,5 @@ class SAC:
             value_opt=value_opt,
             soft_q_opt=soft_q_opt,
         )
-        return new_state, {"q_loss": ql, "value_loss": vl, "policy_loss": pl}
+        return new_state, pmean({"q_loss": ql, "value_loss": vl,
+                                 "policy_loss": pl})

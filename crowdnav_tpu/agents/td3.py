@@ -165,19 +165,43 @@ class TD3:
                 action = jnp.where(pick, unif, action)
         return jnp.clip(action, lo, hi)
 
-    def update(self, state: TD3State, batch, key: jax.Array):
+    def update(self, state: TD3State, batch, key: jax.Array,
+               axis_name: str | None = None, smoothing_noise=None):
         """One TD3 gradient step (`td3.py:225-285`).
 
         The actor/target update runs every ``policy_update`` calls via a
         zero-mask (identical FLOPs each call — keeps the jitted program
-        branch-free and shard-uniform)."""
+        branch-free and shard-uniform).
+
+        ``axis_name``: data-parallel learner inside a vma-checked
+        ``shard_map`` — the batch is this device's shard of the global
+        batch. Under jax's varying-manual-axes AD, differentiating the
+        (device-varying) local loss w.r.t. the REPLICATED params already
+        inserts the gradient ``psum`` in the transpose, so the grads
+        arrive as the SUM of per-device local-mean grads; dividing by the
+        axis size recovers the exact global-batch mean gradient, every
+        device applies the identical optimizer step, and the agent state
+        stays replicated (SURVEY.md §2.7 sharded-learner row; the
+        NCCL-allreduce equivalent). Scalar metrics are still varying and
+        are ``pmean``-ed explicitly.
+        ``smoothing_noise``: optional pre-drawn standard-normal noise for
+        target-policy smoothing (shape of next_action); used by the
+        sharded-vs-single equality test to make "same RNG" literal."""
         cfg = self.cfg
+        if axis_name:
+            n_shards = jax.lax.psum(1, axis_name)
+            gnorm = lambda g: jax.tree.map(lambda x: x / n_shards, g)
+            pmean = lambda t: jax.lax.pmean(t, axis_name)
+        else:
+            gnorm = pmean = lambda t: t
         obs, action, reward, next_obs, done = (
             batch.obs, batch.action, batch.reward, batch.next_obs, batch.done)
 
         # --- critic update ---
         next_action = self.actor.apply(state.actor_target, next_obs)
-        noise = jax.random.normal(key, next_action.shape) * cfg.policy_noise
+        raw = smoothing_noise if smoothing_noise is not None \
+            else jax.random.normal(key, next_action.shape)
+        noise = raw * cfg.policy_noise
         noise = jnp.clip(noise, -cfg.noise_clip, cfg.noise_clip)
         # the reference does NOT re-clip the smoothed action to the action
         # box (td3.py:242-246); reproduced
@@ -193,6 +217,7 @@ class TD3:
             return jnp.mean((q1 - y) ** 2) + jnp.mean((q2 - y) ** 2)
 
         c_loss, c_grads = jax.value_and_grad(critic_loss)(state.critic_params)
+        c_grads = gnorm(c_grads)
         c_updates, critic_opt = self.critic_tx.update(
             c_grads, state.critic_opt, state.critic_params)
         critic_params = optax.apply_updates(state.critic_params, c_updates)
@@ -206,6 +231,7 @@ class TD3:
             return -jnp.mean(q1)
 
         a_loss, a_grads = jax.value_and_grad(actor_loss)(state.actor_params)
+        a_grads = gnorm(a_grads)
         a_grads = jax.tree.map(lambda g: g * do_policy, a_grads)
         a_updates, actor_opt = self.actor_tx.update(
             a_grads, state.actor_opt, state.actor_params)
@@ -228,6 +254,6 @@ class TD3:
             explore_sigma=state.explore_sigma,
             explore_eps=state.explore_eps,
         )
-        metrics = {"critic_loss": c_loss, "actor_loss": a_loss,
-                   "q_target_mean": jnp.mean(y)}
+        metrics = pmean({"critic_loss": c_loss, "actor_loss": a_loss,
+                         "q_target_mean": jnp.mean(y)})
         return new_state, metrics

@@ -282,25 +282,10 @@ class Trainer:
         # learn
         learn_metrics = state.learn_metrics
         if tcfg.learning:
-            def do_learn(carry):
-                agent_state, key = carry
-
-                def one(carry, k):
-                    a_state = carry
-                    ks, ku = jax.random.split(k)
-                    batch = self.buffer.sample(replay, ks,
-                                               self.agent.cfg.batch_size)
-                    a_state, m = self.agent.update(a_state, batch, ku)
-                    return a_state, m
-
-                keys = jax.random.split(key, tcfg.updates_per_step)
-                agent_state, ms = jax.lax.scan(one, agent_state, keys)
-                last = jax.tree.map(lambda x: x[-1], ms)
-                return agent_state, last
-
             can_learn = replay.size >= tcfg.learn_start
             agent_state, learn_metrics = jax.lax.cond(
-                can_learn, do_learn,
+                can_learn,
+                lambda c: self._learn(c[0], replay, c[1]),
                 lambda c: (c[0], state.learn_metrics),
                 (agent_state, k_update))
 
@@ -310,6 +295,22 @@ class Trainer:
                                  reset_bank=state.reset_bank,
                                  learn_metrics=learn_metrics)
         return new_state, {}
+
+    def _learn(self, agent_state, replay, key):
+        """``updates_per_step`` sequential gradient steps, each on a fresh
+        uniform sample. Overridden by ShardedTrainer with the shard_map
+        DP-sharded version (local sampling + gradient psum)."""
+
+        def one(a_state, k):
+            ks, ku = jax.random.split(k)
+            batch = self.buffer.sample(replay, ks,
+                                       self.agent.cfg.batch_size)
+            a_state, m = self.agent.update(a_state, batch, ku)
+            return a_state, m
+
+        keys = jax.random.split(key, self.tcfg.updates_per_step)
+        agent_state, ms = jax.lax.scan(one, agent_state, keys)
+        return agent_state, jax.tree.map(lambda x: x[-1], ms)
 
     def _safety(self, env_states):
         if hasattr(self.env, "safety_scores"):
