@@ -123,6 +123,9 @@ def run_metadata(args, trainer) -> dict:
         "behavior": args.behavior,
         "ablation": getattr(args, "ablation", None),
         "jitter": getattr(args, "jitter", 0.0),
+        "actuation_noise": getattr(args, "actuation_noise", 0.0),
+        "dt_jitter": getattr(args, "dt_jitter", 0.0),
+        "lidar_noise": getattr(args, "lidar_noise", 0.0),
         "n_envs": args.n_envs,
         "updates_per_step": args.updates_per_step,
         "replay_obs_dtype": getattr(args, "replay_obs_dtype", None)
@@ -132,10 +135,14 @@ def run_metadata(args, trainer) -> dict:
 
 
 def build(args):
+    noise_kw = {k: v for k, v in (
+        ("actuation_noise", getattr(args, "actuation_noise", 0.0)),
+        ("dt_jitter", getattr(args, "dt_jitter", 0.0)),
+        ("lidar_noise", getattr(args, "lidar_noise", 0.0))) if v}
     cfg = make_config(args.world, args.behavior,
                       ablation=getattr(args, "ablation", None),
                       jitter=getattr(args, "jitter", 0.0),
-                      max_steps=args.max_steps)
+                      max_steps=args.max_steps, **noise_kw)
     env_cls = CrowdEnv if args.algo in RISK_ENV_ALGOS else SimpleEnv
     env = env_cls(cfg)
     agent, discrete = _build_agent(args.algo, env.obs_dim, args.n_envs,
@@ -205,6 +212,19 @@ def main(argv=None):
     p.add_argument("--jitter", type=float, default=0.0,
                    help="reset-randomization scale (start pose, pedestrian "
                         "spawns/phases); 1.0 = standard training diversity")
+    p.add_argument("--actuation-noise", type=float, default=0.0,
+                   help="per-step Gaussian noise std on the executed "
+                        "(lin, ang) command, as a fraction of the action "
+                        "box (EnvConfig.actuation_noise — the Gazebo "
+                        "contact-physics stand-in)")
+    p.add_argument("--dt-jitter", type=float, default=0.0,
+                   help="uniform +-fraction jitter on the physics dt per "
+                        "step (the reference's wall-clock scheduling "
+                        "jitter, environment_stage_1_nobonus.py:1198-1205)")
+    p.add_argument("--lidar-noise", type=float, default=0.0,
+                   help="Gaussian std (m) on hit-beam lidar ranges (the "
+                        "sensor plugin's disabled noise field, "
+                        "turtlebot3_burger.gazebo.xacro:150-177)")
     p.add_argument("--reset-bank", type=int, default=0,
                    help="size of the pre-randomized reset bank for diverse "
                         "auto-resets (0 = auto when --jitter is set)")

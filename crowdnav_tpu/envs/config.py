@@ -168,6 +168,29 @@ class EnvConfig:
     ped_shuffle: bool = False       # permute the direction table per env
     ped_phase_jitter: bool = False  # random redraw-window phase per env
 
+    # --- per-step stochasticity (VERDICT r3 missing item 2) ---
+    # The reference's episode-to-episode variation does not stop at reset:
+    # Gazebo steps 1 ms ODE contact physics between actions
+    # (worlds/turtlebot3_crowd_dense.world:69-71) under wall-clock
+    # scheduling jitter (the 0.15 s sleep + padding,
+    # environment_stage_1_nobonus.py:1198-1205), and the lidar plugin
+    # carries a Gaussian-noise field (set to 0.0 in the shipped xacro,
+    # turtlebot3_burger.gazebo.xacro:150-177). A fixed-dt kinematic engine
+    # has none of that; these knobs inject each axis explicitly so the
+    # "Gazebo noise explains the reference's no_cp collapse" hypothesis is
+    # testable (results/r3 ablation post-mortem):
+    actuation_noise: float = 0.0  # Gaussian std on the executed (lin, ang)
+                                  # command, as a fraction of
+                                  # (max_lin_vel, max_ang_vel)
+    dt_jitter: float = 0.0        # uniform +-fraction on the physics dt;
+                                  # the risk tracker keeps dividing by the
+                                  # nominal dt (it cannot observe the true
+                                  # elapsed time), so this also perturbs
+                                  # velocity estimates — as the reference's
+                                  # measured-wall-time division does
+    lidar_noise: float = 0.0      # Gaussian std (m) per beam range (the
+                                  # plugin's disabled noise field)
+
     # --- state ablation (results/td3/{ablation_study,revamped} arms) ---
     # The reference toggles state components via commented code (the "no CP"
     # state `environment_stage_1_nobonus.py:1032-1033`, CP weights "original:

