@@ -6,10 +6,10 @@ wall-clock (0.15 s sleep per action, `environment_stage_1_nobonus.py:
 1201-1205`; BASELINE.md). Here N envs step in lockstep on-device with the
 learner fused into the same program.
 
-Prints one JSON line per benched configuration: by default the pallas
-lidar backend first, then the xla (primary) configuration LAST so a
-last-line parse picks up the headline number. ``--xla-only`` skips the
-pallas line.
+Prints one JSON line per benched configuration, the xla (primary)
+configuration LAST so a last-line parse picks up the headline number.
+``--with-pallas-lidar`` adds the pallas lidar-backend line first (off by
+default — a documented 3.4x-losing fallback, see the flag's help).
 
 FLOPs/MFU accounting (VERDICT r2 weakness 1): XLA's
 ``compiled.cost_analysis()`` through the relay backend undercounts by ~2
@@ -201,11 +201,17 @@ def main():
                         "configuration, results/r3/td3_16k_bf16replay)")
     p.add_argument("--no-learn", action="store_true",
                    help="pure env throughput (no learner updates)")
-    p.add_argument("--xla-only", action="store_true",
-                   help="skip the pallas-lidar-backend line")
+    p.add_argument("--with-pallas-lidar", action="store_true",
+                   help="also bench the pallas lidar backend line. OFF by "
+                        "default (VERDICT r3 task 7): the hand-tiled "
+                        "raycast kernel loses 3.4x end-to-end because it "
+                        "breaks XLA's fusion around a 0.11 ms op — it is "
+                        "a documented fallback (ops/lidar_pallas.py), not "
+                        "a headline path, and benching a known loss by "
+                        "default spent chip time for nothing")
     args = p.parse_args()
 
-    if not args.xla_only:
+    if args.with_pallas_lidar:
         out_p = bench_config(args, "pallas", learning=not args.no_learn)
         out_p["metric"] += "_pallas_lidar"
         print(json.dumps(out_p), flush=True)

@@ -49,6 +49,8 @@ def _build_agent(algo: str, obs_dim: int, n_envs: int, args=None):
         kw = {}
         if args is not None and getattr(args, "actor_lr", None):
             kw.update(actor_lr=args.actor_lr)
+        if args is not None and getattr(args, "critic_lr", None):
+            kw.update(critic_lr=args.critic_lr)
         if args is not None and getattr(args, "learner_dtype", None):
             kw.update(compute_dtype=args.learner_dtype)
         if args is not None and args.sigma_min is not None:
@@ -203,6 +205,10 @@ def main(argv=None):
                    help="actor learning rate override (td3/ddpg; default "
                         "3e-4). A lower actor LR is the standard lever "
                         "against DDPG's late actor-collapse")
+    p.add_argument("--critic-lr", type=float, default=None,
+                   help="critic learning rate override (td3; default "
+                        "3e-4) — the batch-envelope sweep scales both LRs "
+                        "with the batch size")
     p.add_argument("--batch-size", type=int, default=None,
                    help="learner batch per update (reference: TD3 128, "
                         "DDPG/SAC/DQN 64). Larger batches with "

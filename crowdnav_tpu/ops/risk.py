@@ -231,11 +231,14 @@ def update_tracks(cfg: EnvConfig, tracks: TrackState,
     matched = tracks.valid & (best_iou > 0.0)
 
     # one-hot matmuls instead of [best_j] gathers (TPU gather pathology —
-    # see segment_scans center_oh comment)
-    bj_oh = (best_j[:, None] == jnp.arange(S)[None, :]) \
-        .astype(jnp.float32)                                # (T, S)
-    new_pos = _exact_select(bj_oh, segs.center_pos)
-    new_dist = _exact_select(bj_oh, segs.center_dist)
+    # see segment_scans center_oh comment); pos + dist contract in ONE
+    # (T,S)x(S,3) matmul
+    bj_eq = best_j[:, None] == jnp.arange(S)[None, :]       # (T, S)
+    picked = _exact_select(
+        bj_eq.astype(jnp.float32),
+        jnp.concatenate([segs.center_pos, segs.center_dist[:, None]],
+                        axis=-1))                           # (T, 3)
+    new_pos, new_dist = picked[:, :2], picked[:, 2]
     delta = tracks.pos - new_pos                            # prev - curr
     speed = jnp.linalg.norm(delta, axis=-1) / cfg.dt
     upd = TrackState(
@@ -251,9 +254,7 @@ def update_tracks(cfg: EnvConfig, tracks: TrackState,
     # insertion of unclaimed obstacle objects — all dense (scatters
     # serialize on TPU): claimed via a (T, S) one-hot reduce, slot
     # assignment by matching free-slot rank to unclaimed-object rank
-    bj_onehot = (best_j[:, None] == jnp.arange(S)[None, :]) \
-        & matched[:, None]                                  # (T, S)
-    claimed = jnp.any(bj_onehot, axis=0)
+    claimed = jnp.any(bj_eq & matched[:, None], axis=0)     # (S,)
     insert = segs.is_obstacle & ~claimed                    # (S,)
     free = ~upd.valid
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1      # (T,)
@@ -261,13 +262,11 @@ def update_tracks(cfg: EnvConfig, tracks: TrackState,
     sel = (free[:, None] & insert[None, :]
            & (free_rank[:, None] == obj_rank[None, :]))     # (T, S)
     inserted = jnp.any(sel, axis=1)                         # (T,)
-    selT = sel.astype(upd.pos.dtype)
-
-    def pick(vals):                 # (S, ...) -> (T, ...) via dense matmul
-        return _exact_select(selT, vals.astype(upd.pos.dtype))
-
-    ins_pos = pick(segs.center_pos)
-    ins_dist = pick(segs.center_dist)
+    ins = _exact_select(
+        sel.astype(upd.pos.dtype),
+        jnp.concatenate([segs.center_pos, segs.center_dist[:, None]],
+                        axis=-1).astype(upd.pos.dtype))     # (T, 3)
+    ins_pos, ins_dist = ins[:, :2], ins[:, 2]
 
     def merge(old, ins_vals):
         mask = inserted if old.ndim == 1 else inserted[:, None]

@@ -105,16 +105,16 @@ def run_child(n_dev, sharded, n_envs, chunk, iters, trials, updates, batch,
     return r
 
 
-def td3_param_bytes():
-    """Actual TD3 (256-wide, obs 398) parameter count, f32 bytes."""
-    import jax
-
-    from crowdnav_tpu.agents import TD3, TD3Config
-    agent = TD3(TD3Config(), 398)
-    st = jax.eval_shape(agent.init, jax.ShapeDtypeStruct((2,), "uint32"))
-    n = sum(int(jax.numpy.prod(jax.numpy.array(l.shape)))
-            for l in jax.tree.leaves((st.actor_params, st.critic_params)))
-    return 4 * n
+def td3_param_bytes(obs_dim=398, act_dim=2, hidden=256):
+    """TD3 (256-wide, obs 398) online parameter count, f32 bytes — plain
+    arithmetic (importing jax in this parent process would connect to the
+    TPU relay; only the CPU children may touch jax). Actor: obs->h->h->act;
+    twin critic: 2 x ((obs+act)->h->h->1); biases included."""
+    actor = (obs_dim * hidden + hidden) + (hidden * hidden + hidden) \
+        + (hidden * act_dim + act_dim)
+    q = ((obs_dim + act_dim) * hidden + hidden) \
+        + (hidden * hidden + hidden) + (hidden * 1 + 1)
+    return 4 * (actor + 2 * q)
 
 
 def main():
