@@ -106,7 +106,8 @@ def bench_config(args, lidar_backend: str, learning: bool):
     from crowdnav_tpu.parallel import Trainer, TrainerConfig
 
     cfg = make_config("crowd_dense", "crowd", jitter=1.0,
-                      lidar_backend=lidar_backend)
+                      lidar_backend=lidar_backend,
+                      risk_backend=args.risk_backend)
     env = CrowdEnv(cfg)
     agent = TD3(TD3Config(batch_size=args.batch_size,
                           compute_dtype=args.dtype), env.obs_dim)
@@ -145,6 +146,7 @@ def bench_config(args, lidar_backend: str, learning: bool):
             "updates_per_step": args.updates_per_step,
             "batch_size": args.batch_size,
             "learning": learning, "lidar_backend": lidar_backend,
+            "risk_backend": args.risk_backend,
             "jitter": 1.0, "dtype": args.dtype,
             "replay_obs_dtype": args.replay_obs_dtype,
         },
@@ -201,6 +203,11 @@ def main():
                         "configuration, results/r3/td3_16k_bf16replay)")
     p.add_argument("--no-learn", action="store_true",
                    help="pure env throughput (no learner updates)")
+    p.add_argument("--risk-backend", default="pallas",
+                   choices=["xla", "pallas"],
+                   help="tracker+CP+topK backend; 'pallas' (default) is "
+                        "the fused VMEM kernel (ops/risk_pallas.py), "
+                        "bit-matching the xla path")
     p.add_argument("--with-pallas-lidar", action="store_true",
                    help="also bench the pallas lidar backend line. OFF by "
                         "default (VERDICT r3 task 7): the hand-tiled "

@@ -141,6 +141,8 @@ def build(args):
         ("actuation_noise", getattr(args, "actuation_noise", 0.0)),
         ("dt_jitter", getattr(args, "dt_jitter", 0.0)),
         ("lidar_noise", getattr(args, "lidar_noise", 0.0))) if v}
+    if getattr(args, "risk_backend", None):
+        noise_kw["risk_backend"] = args.risk_backend
     cfg = make_config(args.world, args.behavior,
                       ablation=getattr(args, "ablation", None),
                       jitter=getattr(args, "jitter", 0.0),
@@ -227,6 +229,11 @@ def main(argv=None):
                    help="uniform +-fraction jitter on the physics dt per "
                         "step (the reference's wall-clock scheduling "
                         "jitter, environment_stage_1_nobonus.py:1198-1205)")
+    p.add_argument("--risk-backend", default=None,
+                   choices=["xla", "pallas"],
+                   help="tracker+CP+topK backend (default xla; 'pallas' "
+                        "is the fused VMEM kernel, bit-matching — "
+                        "tests/test_risk_pallas.py)")
     p.add_argument("--lidar-noise", type=float, default=0.0,
                    help="Gaussian std (m) on hit-beam lidar ranges (the "
                         "sensor plugin's disabled noise field, "

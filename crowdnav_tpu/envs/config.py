@@ -215,6 +215,14 @@ class EnvConfig:
     # batched step path (CrowdEnv.step_batch). Numerics identical.
     lidar_backend: str = "xla"
 
+    # --- risk compute backend ---
+    # "xla": the fixed-shape ops in ops/risk.py under vmap;
+    # "pallas": the fused tracker+CP+topK VMEM kernel
+    # (ops/risk_pallas.py) via CrowdEnv.step_batch — the perceive chain's
+    # ~30 fused XLA kernels collapse into one program per 128-env tile.
+    # Default-quirks only (strict_quirks requires "xla").
+    risk_backend: str = "xla"
+
     # --- perceived risk (environment_stage_1_nobonus.py) ---
     k_obstacles: int = 8          # top-K CP slots in the state (:55)
     max_segments: int = 32        # fixed-shape cap on lidar segments

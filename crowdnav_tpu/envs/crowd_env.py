@@ -55,14 +55,11 @@ def _htg_reward(curr, prev):
     return jnp.where(hd > 0, pos_case, jnp.where(hd < 0, neg_case, 0.0))
 
 
-def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
-    """Sensor + perception half of ``Env.step``: lidar, waypoint refresh,
-    risk pipeline, observation vector, termination flags.
-
-    ``scans`` overrides the simulated lidar with external sensor data — the
-    hardware-deployment path of
-    `environment_stage_1_nobonus_realworld.py` (scan topic in, same
-    perception out)."""
+def _sense(cfg: EnvConfig, state: EnvState, scans=None):
+    """Lidar half of the observation: simulated raycast (or external
+    ``scans`` — the hardware-deployment path of
+    `environment_stage_1_nobonus_realworld.py`), optional per-step sensor
+    noise, 3-decimal rounding, world-frame points."""
     if scans is None:
         scans = lidar.scan(state.pos, state.yaw, state.ped_pos,
                            cfg.ped_radius, cfg.room_half_inner,
@@ -82,7 +79,11 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
                                         cfg.max_scan_range), scans)
     scans = jnp.round(scans, 3)
     points = lidar.scan_points(state.pos, state.yaw, scans, cfg.n_scans)
+    return scans, points
 
+
+def _goal_features(cfg: EnvConfig, state: EnvState):
+    """Waypoint refresh + distance/heading-to-goal features."""
     goal = jnp.array(cfg.goal, jnp.float32)
     if cfg.use_waypoints:
         # waypoint refresh on the FOV circle: at step 1, every 5 steps, or
@@ -100,10 +101,14 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
         waypoint = goal
         dtg = jnp.round(jnp.linalg.norm(goal - state.pos), 2)
         htg = jnp.round(geom.heading_to(goal, state.pos, state.yaw), 2)
+    return waypoint, dtg, htg
 
-    out = risk.perceive(cfg, scans, points, state.tracks, state.pos,
-                        state.prev_pos, compute_cp=compute_cp)
 
+def _finish_observe(cfg: EnvConfig, state: EnvState, scans,
+                    out: "risk.RiskOutput", waypoint, dtg, htg, compute_cp):
+    """Post-perception half: goal-reaching probability, termination flags,
+    observation assembly, state bookkeeping."""
+    goal = jnp.array(cfg.goal, jnp.float32)
     # goal-reaching probability (:968-988; computed-but-unused in the main
     # arm — "(NOT USED)" — and the +grp block of the ablation arms):
     # collision-cone TTC of the robot's motion line against an r=0.2 circle
@@ -170,6 +175,52 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
         + (out.ego_cp > cfg.social_cp_threshold).astype(jnp.int32),
     )
     return new_state, obs, (dtg, htg), done, at_goal
+
+
+def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
+    """Sensor + perception half of ``Env.step``: lidar, waypoint refresh,
+    risk pipeline, observation vector, termination flags (single env;
+    the batched/kernel variant is ``_observe_batch``)."""
+    scans, points = _sense(cfg, state, scans)
+    waypoint, dtg, htg = _goal_features(cfg, state)
+    out = risk.perceive(cfg, scans, points, state.tracks, state.pos,
+                        state.prev_pos, compute_cp=compute_cp)
+    return _finish_observe(cfg, state, scans, out, waypoint, dtg, htg,
+                           compute_cp)
+
+
+def _observe_batch(cfg: EnvConfig, states: EnvState, compute_cp,
+                   scans=None):
+    """Batched observation with the fused Pallas risk kernel
+    (``cfg.risk_backend == "pallas"``): segmentation stays vmapped XLA
+    (it is beam-ring math that XLA already fuses well), then the
+    tracker+CP+topK chain runs as one VMEM kernel over 128-env tiles
+    (`ops/risk_pallas.py`). ``compute_cp`` is (N,) bool."""
+    from crowdnav_tpu.ops.risk_pallas import track_cp_topk_batch
+
+    if scans is None:
+        scans, points = jax.vmap(lambda st: _sense(cfg, st))(states)
+    else:
+        scans, points = jax.vmap(
+            lambda st, sc: _sense(cfg, st, sc))(states, scans)
+    waypoint, dtg, htg = jax.vmap(
+        lambda st: _goal_features(cfg, st))(states)
+    segs = jax.vmap(
+        lambda sc, pt: risk.segment_scans(cfg, sc, pt))(scans, points)
+    new_tracks, top_cp, top_pv, cp_max, ego_cp = track_cp_topk_batch(
+        cfg, segs, states.tracks, states.pos, states.prev_pos, compute_cp)
+    out = risk.RiskOutput(
+        tracks=new_tracks, top_k_pose_vel=top_pv, top_k_cp=top_cp,
+        cp_max=cp_max, ego_cp=ego_cp,
+        obstacle_seen=jnp.any(segs.is_obstacle, axis=-1),
+        ego_violation=jnp.any(
+            segs.is_obstacle
+            & (segs.center_dist < cfg.ego_distance_threshold), axis=-1),
+        segments=segs)
+    return jax.vmap(
+        lambda st, sc, o, wp, d, h, cc: _finish_observe(
+            cfg, st, sc, o, wp, d, h, cc)
+    )(states, scans, out, waypoint, dtg, htg, compute_cp)
 
 
 def _reward(cfg: EnvConfig, state: EnvState, dtg, htg, done, at_goal):
@@ -239,6 +290,10 @@ class CrowdEnv:
         self.cfg = cfg
         self.obs_dim = cfg.state_dim_risk
         self.action_dim = 2
+        if cfg.risk_backend == "pallas" and cfg.strict_quirks:
+            raise ValueError(
+                "risk_backend='pallas' implements the default quirks "
+                "policy only; strict_quirks requires the xla backend")
         # The initial world is deterministic given the config (fixed start
         # pose, fixed pedestrian spawns) — only the RNG key varies across
         # resets. Precomputing the reset (state, obs) once lets the batched
@@ -297,31 +352,43 @@ class CrowdEnv:
                           sel(False, done))
 
     def step_batch(self, states: EnvState, actions: jax.Array) -> StepOutput:
-        """Batched step over a leading env axis, with the lidar computed at
-        the batch level so the Pallas kernel (`ops/lidar_pallas.py`) can own
-        the whole (N, beams) tile. ``lidar_backend="xla"`` falls back to the
-        plain vmapped ``step`` (identical numerics either way — the kernel
-        and the XLA raycast agree to float tolerance, `tests/
-        test_lidar_pallas.py`). The runtime uses this path when present."""
+        """Batched step over a leading env axis so batch-level kernels can
+        own their tiles: the Pallas lidar (`ops/lidar_pallas.py`, a
+        documented fallback) and/or the fused Pallas risk kernel
+        (`ops/risk_pallas.py` — tracker+CP+topK in one VMEM program).
+        With both backends "xla" this is the plain vmapped ``step``
+        (identical numerics across all paths — `tests/test_lidar_pallas`,
+        `tests/test_risk_pallas`). The runtime uses this path when
+        present."""
         cfg = self.cfg
-        if cfg.lidar_backend != "pallas":
+        if cfg.lidar_backend != "pallas" and cfg.risk_backend != "pallas":
             return jax.vmap(self.step)(states, actions)
-
-        from crowdnav_tpu.ops.lidar_pallas import scan_batch_pallas
 
         was_done = states.done
         s = jax.vmap(lambda st, a: world_step(cfg, st, a))(states, actions)
-        scans = scan_batch_pallas(s.pos, s.yaw, s.ped_pos, cfg.ped_radius,
-                                  cfg.room_half_inner, cfg.max_scan_range,
-                                  cfg.lidar_min_range, cfg.n_scans)
+        scans = None
+        if cfg.lidar_backend == "pallas":
+            from crowdnav_tpu.ops.lidar_pallas import scan_batch_pallas
+            scans = scan_batch_pallas(
+                s.pos, s.yaw, s.ped_pos, cfg.ped_radius,
+                cfg.room_half_inner, cfg.max_scan_range,
+                cfg.lidar_min_range, cfg.n_scans)
 
-        def one(st, sc):
-            st2, obs, (dtg, htg), done, at_goal = _observe(
-                cfg, st, compute_cp=jnp.ones((), bool), scans=sc)
-            reward, st2 = _reward(cfg, st2, dtg, htg, done, at_goal)
-            return st2, obs, reward, done
+        if cfg.risk_backend == "pallas":
+            n = was_done.shape[0]
+            s2, obs, (dtg, htg), done, at_goal = _observe_batch(
+                cfg, s, jnp.ones((n,), bool), scans)
+            reward, s2 = jax.vmap(
+                lambda st, d, h, dn, ag: _reward(cfg, st, d, h, dn, ag)
+            )(s2, dtg, htg, done, at_goal)
+        else:
+            def one(st, sc):
+                st2, obs, (dtg, htg), done, at_goal = _observe(
+                    cfg, st, compute_cp=jnp.ones((), bool), scans=sc)
+                reward, st2 = _reward(cfg, st2, dtg, htg, done, at_goal)
+                return st2, obs, reward, done
 
-        s2, obs, reward, done = jax.vmap(one)(s, scans)
+            s2, obs, reward, done = jax.vmap(one)(s, scans)
 
         tmpl_state, tmpl_obs = self._template
         keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(states.key)

@@ -1,0 +1,283 @@
+"""Pallas TPU kernel for the tracker → collision-probability → top-K chain.
+
+Round-3 profiling named this chain (not the raycast) as the env step's
+dominant cost: ~30 small fused kernels of per-env (T=24, S=32) slot math,
+each reading and writing (N, T, S)-shaped intermediates through HBM
+(`results/r3/env_profile.json`, VERDICT r3 task 2). This kernel collapses
+the whole chain — `risk.update_tracks` + `risk.collision_probabilities` +
+`risk.select_top_k` + the perceive-level reductions — into ONE program per
+128-env tile with every intermediate living in VMEM.
+
+Layout: **envs on the 128-lane axis**, slot dimensions on sublanes. Per
+tile the working set is a handful of (T, S, 128) float32 arrays (~400 KB
+each), so the entire per-env match/insert/rank pipeline vectorizes across
+128 envs at once on the VPU with zero HBM round-trips between stages.
+
+Semantics: bit-faithful to the default (``strict_quirks=False``) XLA path
+in `ops/risk.py` — same first-index argmax tie-breaking (via a strictly
+monotone per-index epsilon far below the 3-decimal IOU granularity), same
+stable top-K ordering (pairwise rank with index tie-break, the order
+`lax.top_k` guarantees), same -1 fresh-track speed sentinel and
+(prev - curr)/dt velocity convention (reference quirks, risk.py module
+docs). ``strict_quirks=True`` configs must use the XLA backend.
+
+Reference counterpart: `environment_stage_1_nobonus.py:656-905`
+(tracking :656-743, velocities :745-761, collision cone :765-860, top-K
+:862-905) — re-architected, not translated.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from crowdnav_tpu.envs.world import TrackState
+
+E_TILE = 128          # envs per program, on the lane axis
+
+# stacked-field indices (see _pack/_unpack)
+SEG_FIELDS = 5        # confirmed, is_obstacle, cx, cy, cdist
+TRK_FIELDS = 10       # valid, px, py, prevx, prevy, has_prev, dist, speed,
+                      # vx, vy
+ROB_FIELDS = 5        # rx, ry, prx, pry, compute_cp
+TOP_FIELDS = 5        # cp, x, y, vx, vy
+
+
+def _cumsum0(x):
+    """Inclusive cumsum along axis 0 by log-step shifted adds (static
+    shape; avoids relying on a cumsum lowering)."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        pad = jnp.zeros((shift,) + x.shape[1:], x.dtype)
+        x = x + jnp.concatenate([pad, x[:-shift]], axis=0)
+        shift *= 2
+    return x
+
+
+def _kernel(seg_ref, trk_ref, rob_ref, trko_ref, top_ref, scal_ref, *,
+            S, T, K, ped_radius, dt, body_width, cp_ttc_w, cp_dist_w,
+            max_range, min_range):
+    f32 = jnp.float32
+    seg = seg_ref[:]                       # (SEG_FIELDS, S, E)
+    conf, is_obs = seg[0] > 0, seg[1] > 0  # (S, E) bool
+    cx, cy, cdist = seg[2], seg[3], seg[4]
+    trk = trk_ref[:]                       # (TRK_FIELDS, T, E)
+    valid = trk[0] > 0
+    px, py, prevx, prevy = trk[1], trk[2], trk[3], trk[4]
+    has_prev = trk[5] > 0
+    tdist, tspeed, tvx, tvy = trk[6], trk[7], trk[8], trk[9]
+    rob = rob_ref[:]                       # (ROB_FIELDS, 1, E)
+    rx, ry, prx, pry = rob[0], rob[1], rob[2], rob[3]   # (1, E)
+    compute_cp = rob[4] > 0
+
+    # ---- IOU match (risk.update_tracks; box_iou closed form) ----
+    side = 2.0 * ped_radius
+    ddx = jnp.abs(px[:, None, :] - cx[None, :, :])      # (T, S, E)
+    ddy = jnp.abs(py[:, None, :] - cy[None, :, :])
+    inter = jnp.maximum(side - ddx, 0.0) * jnp.maximum(side - ddy, 0.0)
+    union = 2.0 * side * side - inter
+    iou = jnp.round(inter / union * 1000.0) / 1000.0    # round(x, 3)
+    iou = jnp.where(conf[None, :, :], iou, -1.0)
+    best_iou = jnp.max(iou, axis=1)                     # (T, E)
+    # first-index argmax: per-column epsilon (<< the 0.001 IOU grid) makes
+    # the max unique and breaks ties toward the LOWEST segment index,
+    # matching jnp.argmax in the XLA path
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (T, S, 1), 1)
+    tb = iou + (S - 1 - s_iota).astype(f32) * 1e-6
+    onehot = tb == jnp.max(tb, axis=1, keepdims=True)   # (T, S, E) bool
+
+    def pick_seg(oh, v):                   # (T,S,E), (S,E) -> (T,E)
+        return jnp.sum(jnp.where(oh, v[None, :, :], 0.0), axis=1)
+
+    new_x = pick_seg(onehot, cx)
+    new_y = pick_seg(onehot, cy)
+    new_d = pick_seg(onehot, cdist)
+    matched = valid & (best_iou > 0.0)                  # (T, E)
+    delta_x = px - new_x                                # prev - curr (:806)
+    delta_y = py - new_y
+    speed = jnp.sqrt(delta_x * delta_x + delta_y * delta_y) / dt
+
+    u_px = jnp.where(matched, new_x, px)
+    u_py = jnp.where(matched, new_y, py)
+    u_prevx = jnp.where(matched, px, prevx)
+    u_prevy = jnp.where(matched, py, prevy)
+    u_dist = jnp.where(matched, new_d, tdist)
+    u_speed = jnp.where(matched, speed, tspeed)
+    u_vx = jnp.where(matched, delta_x / dt, tvx)
+    u_vy = jnp.where(matched, delta_y / dt, tvy)
+
+    # ---- insertion of unclaimed obstacles into free slots ----
+    claimed = jnp.sum(
+        jnp.where(onehot & matched[:, None, :], 1.0, 0.0), axis=0) > 0
+    insert = is_obs & ~claimed                          # (S, E)
+    free = ~matched                                     # (T, E)
+    free_rank = _cumsum0(free.astype(f32)) - 1.0
+    obj_rank = _cumsum0(insert.astype(f32)) - 1.0
+    sel = (free[:, None, :] & insert[None, :, :]
+           & (free_rank[:, None, :] == obj_rank[None, :, :]))
+    inserted = jnp.sum(jnp.where(sel, 1.0, 0.0), axis=1) > 0
+    ins_x = pick_seg(sel, cx)
+    ins_y = pick_seg(sel, cy)
+    ins_d = pick_seg(sel, cdist)
+
+    f_valid = matched | inserted
+    f_px = jnp.where(inserted, ins_x, u_px)
+    f_py = jnp.where(inserted, ins_y, u_py)
+    f_prevx = jnp.where(inserted, ins_x, u_prevx)
+    f_prevy = jnp.where(inserted, ins_y, u_prevy)
+    f_has_prev = jnp.where(inserted, False, matched)
+    f_dist = jnp.where(inserted, ins_d, u_dist)
+    f_speed = jnp.where(inserted, -1.0, u_speed)   # fresh-track sentinel
+    f_vx = jnp.where(inserted, 0.0, u_vx)
+    f_vy = jnp.where(inserted, 0.0, u_vy)
+
+    trko_ref[:] = jnp.stack([
+        f_valid.astype(f32), f_px, f_py, f_prevx, f_prevy,
+        f_has_prev.astype(f32), f_dist, f_speed, f_vx, f_vy])
+
+    # ---- collision probabilities (risk.collision_probabilities) ----
+    mdx, mdy = rx - prx, ry - pry                       # (1, E)
+    agent_speed = jnp.sqrt(mdx * mdx + mdy * mdy) / dt
+    hp = f_has_prev.astype(f32)
+    vo_x = (f_prevx - f_px) * hp                        # (T, E)
+    vo_y = (f_prevy - f_py) * hp
+    rel_x = (rx + vo_x) - prx
+    rel_y = (ry + vo_y) - pry
+    norm = jnp.sqrt(rel_x * rel_x + rel_y * rel_y)
+    inv = 1.0 / jnp.maximum(norm, 1e-9)
+    ux, uy = rel_x * inv, rel_y * inv
+    relc_x, relc_y = f_px - prx, f_py - pry
+    b = relc_x * ux + relc_y * uy
+    d2 = relc_x * relc_x + relc_y * relc_y - b * b
+    disc = body_width * body_width - d2
+    hit = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    dist_cp = jnp.minimum(jnp.abs(b - sq), jnp.abs(b + sq))
+    resultant = agent_speed - f_speed                   # (T, E)
+    still = resultant == 0.0
+    ttc = dist_cp / jnp.where(still, 1.0, resultant)
+    # collision_prob_ttc: min(1, 0.15/ttc), 0 at ttc==0; negatives kept
+    cp_raw = jnp.where(ttc == 0.0, 0.0,
+                       jnp.minimum(1.0, 0.15 / jnp.where(ttc == 0.0, 1.0,
+                                                         ttc)))
+    cp_ttc = jnp.where(hit & ~still, cp_raw, 0.0)
+    gcp = jnp.where(f_dist > max_range, 0.0,
+                    (max_range - f_dist)
+                    / jnp.maximum(max_range - min_range, 1e-9))
+    cp = jnp.where(hit & still, gcp, cp_ttc_w * cp_ttc + cp_dist_w * gcp)
+    cp = jnp.where(f_valid, cp, 0.0)
+    ego = jnp.where(f_valid & hit & ~still, cp_ttc, 0.0)
+
+    # ---- top-K by CP (risk.select_top_k default path) ----
+    n_valid = jnp.sum(jnp.where(f_valid, 1.0, 0.0), axis=0,
+                      keepdims=True)                    # (1, E)
+    any_track = n_valid > 0
+    live = compute_cp & any_track                       # (1, E)
+    score = jnp.where(f_valid, cp, -1e30)
+    # stable rank (ties -> lower index), the lax.top_k order
+    s_u = score[:, None, :]                             # (U, 1, E)
+    s_t = score[None, :, :]                             # (1, T, E)
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (T, T, 1), 0)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (T, T, 1), 1)
+    beats = (s_u > s_t) | ((s_u == s_t) & (u_iota < t_iota))
+    rank = jnp.sum(jnp.where(beats, 1.0, 0.0), axis=0)  # (T, E)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+    koh = rank[None, :, :] == k_iota.astype(f32)        # (K, T, E)
+
+    def pick_trk(v):                        # (T,E) -> (K,E)
+        return jnp.sum(jnp.where(koh, v[None, :, :], 0.0), axis=1)
+
+    picked_valid = live & (k_iota[:, 0, :].astype(f32) < n_valid)  # (K, E)
+    top_cp = jnp.where(picked_valid, pick_trk(cp), 0.0)
+    top_x = jnp.where(picked_valid, pick_trk(f_px), rx)
+    top_y = jnp.where(picked_valid, pick_trk(f_py), ry)
+    top_vx = jnp.where(picked_valid, pick_trk(f_vx), 0.0)
+    top_vy = jnp.where(picked_valid, pick_trk(f_vy), 0.0)
+    top_ref[:] = jnp.stack([top_cp, top_x, top_y, top_vx, top_vy])
+
+    cp_max = jnp.where(live, jnp.max(top_cp, axis=0, keepdims=True), 0.0)
+    ego_cp = jnp.where(live, jnp.max(ego, axis=0, keepdims=True), 0.0)
+    scal_ref[:] = jnp.stack([cp_max, ego_cp])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def track_cp_topk_batch(cfg, segs, tracks: TrackState, robot_pos,
+                        robot_prev_pos, compute_cp, interpret=None):
+    """Batched tracker+CP+topK via the fused kernel.
+
+    Inputs are the batched (leading axis N) pytrees the vmapped XLA path
+    consumes; returns ``(new_tracks, top_cp (N,K), top_pose_vel (N,K,4),
+    cp_max (N,), ego_cp (N,))`` bit-matching `risk.update_tracks` →
+    `collision_probabilities` → `select_top_k` under the default quirks
+    policy. ``interpret=None`` resolves to True off-TPU (tests run the
+    same call sites on CPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert not cfg.strict_quirks, \
+        "pallas risk backend implements the default quirks policy only"
+    N = tracks.valid.shape[0]
+    S, T, K = cfg.max_segments, cfg.max_tracks, cfg.k_obstacles
+    f32 = jnp.float32
+
+    tr = lambda a: a.astype(f32).T          # (N, X) -> (X, N)
+    seg_in = jnp.stack([tr(segs.confirmed), tr(segs.is_obstacle),
+                        tr(segs.center_pos[..., 0]),
+                        tr(segs.center_pos[..., 1]), tr(segs.center_dist)])
+    trk_in = jnp.stack([tr(tracks.valid), tr(tracks.pos[..., 0]),
+                        tr(tracks.pos[..., 1]), tr(tracks.prev_pos[..., 0]),
+                        tr(tracks.prev_pos[..., 1]), tr(tracks.has_prev),
+                        tr(tracks.dist), tr(tracks.speed),
+                        tr(tracks.vel[..., 0]), tr(tracks.vel[..., 1])])
+    rob_in = jnp.stack([robot_pos[:, 0], robot_pos[:, 1],
+                        robot_prev_pos[:, 0], robot_prev_pos[:, 1],
+                        jnp.broadcast_to(compute_cp, (N,)).astype(f32)]
+                       ).astype(f32)[:, None, :]        # (ROB, 1, N)
+
+    pad = (-N) % E_TILE
+    if pad:
+        seg_in = jnp.pad(seg_in, ((0, 0), (0, 0), (0, pad)))
+        trk_in = jnp.pad(trk_in, ((0, 0), (0, 0), (0, pad)))
+        rob_in = jnp.pad(rob_in, ((0, 0), (0, 0), (0, pad)))
+    NP = N + pad
+
+    kernel = functools.partial(
+        _kernel, S=S, T=T, K=K, ped_radius=float(cfg.ped_radius),
+        dt=float(cfg.dt), body_width=float(cfg.collision_body_width),
+        cp_ttc_w=float(cfg.cp_ttc_weight),
+        cp_dist_w=float(cfg.cp_dist_weight),
+        max_range=float(cfg.max_scan_range),
+        min_range=float(cfg.min_scan_range))
+    spec = lambda lead, rows: pl.BlockSpec(
+        (lead, rows, E_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    trko, top, scal = pl.pallas_call(
+        kernel,
+        grid=(NP // E_TILE,),
+        in_specs=[spec(SEG_FIELDS, S), spec(TRK_FIELDS, T),
+                  spec(ROB_FIELDS, 1)],
+        out_specs=[spec(TRK_FIELDS, T), spec(TOP_FIELDS, K), spec(2, 1)],
+        out_shape=[jax.ShapeDtypeStruct((TRK_FIELDS, T, NP), f32),
+                   jax.ShapeDtypeStruct((TOP_FIELDS, K, NP), f32),
+                   jax.ShapeDtypeStruct((2, 1, NP), f32)],
+        interpret=interpret,
+    )(seg_in, trk_in, rob_in)
+
+    trko = trko[..., :N]
+    top = top[..., :N]
+    scal = scal[..., :N]
+    new_tracks = TrackState(
+        valid=trko[0].T > 0,
+        pos=jnp.stack([trko[1], trko[2]], axis=-1).transpose(1, 0, 2),
+        prev_pos=jnp.stack([trko[3], trko[4]], axis=-1).transpose(1, 0, 2),
+        has_prev=trko[5].T > 0,
+        dist=trko[6].T,
+        speed=trko[7].T,
+        vel=jnp.stack([trko[8], trko[9]], axis=-1).transpose(1, 0, 2),
+    )
+    top_cp = top[0].T                                   # (N, K)
+    top_pose_vel = jnp.stack([top[1], top[2], top[3], top[4]],
+                             axis=-1).transpose(1, 0, 2)  # (N, K, 4)
+    return new_tracks, top_cp, top_pose_vel, scal[0, 0], scal[1, 0]

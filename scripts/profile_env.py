@@ -138,9 +138,28 @@ def main():
     res["perceive_composed"] = timed_scan(
         perceive_body, (states.tracks, jnp.zeros(())), args.reps)
 
+    # 7b. fused pallas kernel for the same tracker+CP+topK chain
+    from crowdnav_tpu.ops.risk_pallas import track_cp_topk_batch
+
+    def pallas_body(carry):
+        tracks, acc = carry
+        segs = segs0._replace(center_pos=jitter(segs0.center_pos, acc))
+        nt, tcp, tpv, cpm, ego = track_cp_topk_batch(
+            cfg, segs, tracks, states.pos, states.prev_pos,
+            jnp.ones((args.n_envs,), bool))
+        return nt, acc + jnp.sum(tcp)
+    res["track_cp_topk_pallas"] = timed_scan(
+        pallas_body, (states.tracks, jnp.zeros(())), args.reps)
+
     # 8. full env step (everything + reward + reset select)
     res["full_step"] = timed_scan(
         lambda s: env.step_batch(s, actions).state, states, args.reps)
+
+    # 8b. full env step with the pallas risk backend
+    env_p = CrowdEnv(make_config("crowd_dense", "crowd", jitter=1.0,
+                                 risk_backend="pallas"))
+    res["full_step_risk_pallas"] = timed_scan(
+        lambda s: env_p.step_batch(s, actions).state, states, args.reps)
 
     stage_sum = (res["world_step"] + res["raycast"] + res["segmentation"]
                  + res["update_tracks"] + res["collision_probs"]
