@@ -203,6 +203,29 @@ def main():
                     "exactly that regime with LR compensation.",
         },
     }
+    # multi-chip converging projection, anchored in the r4 batch-envelope
+    # sweep (results/r4): every projected point's optimization regime was
+    # run on real hardware at the true global batch
+    record["converging_projection"] = {
+        "basis": "r4 batch-envelope sweep (results/r4/b*_lr_*): the "
+                 "N-chip weak-scaled optimization regime emulated on one "
+                 "chip at the true global batch — 16,384: 98.1% greedy "
+                 "eval, 65,536: 93.6%; single-chip converging throughput "
+                 "569,510 env-steps/s (BENCH chain_a), ICI all-reduce "
+                 "cost <3%/step (ici_analytic)",
+        "4_chips": {"envs": 65536, "updates_x_global_batch": "32 x 16384",
+                    "aggregate_env_steps_per_s": 2210000,
+                    "quality": "98.1% (validated at true global batch)"},
+        "16_chips_full_weak_scaling": {
+            "envs": 262144, "updates_x_global_batch": "32 x 65536",
+            "aggregate_env_steps_per_s": 8840000,
+            "quality": "93.6% (validated at true global batch)"},
+        "16_chips_validated_batch": {
+            "envs": 262144, "updates_x_global_batch": "128 x 16384",
+            "aggregate_env_steps_per_s": 3800000,
+            "quality": "98.1%; 4x sequential updates per step, per-chip "
+                       "learner batch 1024"},
+    }
     with open(args.out, "w") as fp:
         json.dump(record, fp, indent=1)
     print(f"wrote {args.out} (valid={valid})", flush=True)
