@@ -90,13 +90,20 @@ def _kernel(seg_ref, trk_ref, rob_ref, trko_ref, top_ref, scal_ref, *,
     tb = iou + (S - 1 - s_iota).astype(f32) * 1e-6
     onehot = tb == jnp.max(tb, axis=1, keepdims=True)   # (T, S, E) bool
 
-    def pick_seg(oh, v):                   # (T,S,E), (S,E) -> (T,E)
-        return jnp.sum(jnp.where(oh, v[None, :, :], 0.0), axis=1)
+    # Mask discipline: Mosaic rejects vector selects/truncations that
+    # PRODUCE i1 values ("Unsupported target bitwidth for truncation"),
+    # so every mask that outlives a single `where` condition is carried
+    # as f32 0/1 and combined arithmetically; i1 appears only as the
+    # immediate condition of a float-valued select.
+    def pick_seg(oh_f, v):                 # f32 (T,S,E), (S,E) -> (T,E)
+        return jnp.sum(oh_f * v[None, :, :], axis=1)
 
-    new_x = pick_seg(onehot, cx)
-    new_y = pick_seg(onehot, cy)
-    new_d = pick_seg(onehot, cdist)
-    matched = valid & (best_iou > 0.0)                  # (T, E)
+    oh_f = jnp.where(onehot, 1.0, 0.0)
+    new_x = pick_seg(oh_f, cx)
+    new_y = pick_seg(oh_f, cy)
+    new_d = pick_seg(oh_f, cdist)
+    matched = valid & (best_iou > 0.0)                  # (T, E) i1
+    matched_f = jnp.where(matched, 1.0, 0.0)
     delta_x = px - new_x                                # prev - curr (:806)
     delta_y = py - new_y
     speed = jnp.sqrt(delta_x * delta_x + delta_y * delta_y) / dt
@@ -111,40 +118,44 @@ def _kernel(seg_ref, trk_ref, rob_ref, trko_ref, top_ref, scal_ref, *,
     u_vy = jnp.where(matched, delta_y / dt, tvy)
 
     # ---- insertion of unclaimed obstacles into free slots ----
-    claimed = jnp.sum(
-        jnp.where(onehot & matched[:, None, :], 1.0, 0.0), axis=0) > 0
-    insert = is_obs & ~claimed                          # (S, E)
-    free = ~matched                                     # (T, E)
-    free_rank = _cumsum0(free.astype(f32)) - 1.0
-    obj_rank = _cumsum0(insert.astype(f32)) - 1.0
-    sel = (free[:, None, :] & insert[None, :, :]
-           & (free_rank[:, None, :] == obj_rank[None, :, :]))
-    inserted = jnp.sum(jnp.where(sel, 1.0, 0.0), axis=1) > 0
-    ins_x = pick_seg(sel, cx)
-    ins_y = pick_seg(sel, cy)
-    ins_d = pick_seg(sel, cdist)
+    # claimed_f can exceed 1 (two tracks may argmax onto one segment), so
+    # threshold rather than complement
+    claimed_f = jnp.sum(oh_f * matched_f[:, None, :], axis=0)   # (S, E)
+    insert_f = jnp.where(is_obs & (claimed_f == 0.0), 1.0, 0.0)
+    free_f = 1.0 - matched_f                            # (T, E)
+    free_rank = _cumsum0(free_f) - 1.0
+    obj_rank = _cumsum0(insert_f) - 1.0
+    sel_f = (free_f[:, None, :] * insert_f[None, :, :]
+             * jnp.where(free_rank[:, None, :] == obj_rank[None, :, :],
+                         1.0, 0.0))                     # (T, S, E)
+    inserted_f = jnp.sum(sel_f, axis=1)                 # (T, E) 0/1
+    inserted = inserted_f > 0.0
+    ins_x = pick_seg(sel_f, cx)
+    ins_y = pick_seg(sel_f, cy)
+    ins_d = pick_seg(sel_f, cdist)
 
-    f_valid = matched | inserted
+    # matched and inserted are disjoint (insertion targets free slots)
+    f_valid_f = matched_f + inserted_f
+    f_valid = f_valid_f > 0.0
     f_px = jnp.where(inserted, ins_x, u_px)
     f_py = jnp.where(inserted, ins_y, u_py)
     f_prevx = jnp.where(inserted, ins_x, u_prevx)
     f_prevy = jnp.where(inserted, ins_y, u_prevy)
-    f_has_prev = jnp.where(inserted, False, matched)
+    f_has_prev_f = matched_f * (1.0 - inserted_f)
     f_dist = jnp.where(inserted, ins_d, u_dist)
     f_speed = jnp.where(inserted, -1.0, u_speed)   # fresh-track sentinel
     f_vx = jnp.where(inserted, 0.0, u_vx)
     f_vy = jnp.where(inserted, 0.0, u_vy)
 
     trko_ref[:] = jnp.stack([
-        f_valid.astype(f32), f_px, f_py, f_prevx, f_prevy,
-        f_has_prev.astype(f32), f_dist, f_speed, f_vx, f_vy])
+        f_valid_f, f_px, f_py, f_prevx, f_prevy,
+        f_has_prev_f, f_dist, f_speed, f_vx, f_vy])
 
     # ---- collision probabilities (risk.collision_probabilities) ----
     mdx, mdy = rx - prx, ry - pry                       # (1, E)
     agent_speed = jnp.sqrt(mdx * mdx + mdy * mdy) / dt
-    hp = f_has_prev.astype(f32)
-    vo_x = (f_prevx - f_px) * hp                        # (T, E)
-    vo_y = (f_prevy - f_py) * hp
+    vo_x = (f_prevx - f_px) * f_has_prev_f              # (T, E)
+    vo_y = (f_prevy - f_py) * f_has_prev_f
     rel_x = (rx + vo_x) - prx
     rel_y = (ry + vo_y) - pry
     norm = jnp.sqrt(rel_x * rel_x + rel_y * rel_y)
@@ -173,8 +184,7 @@ def _kernel(seg_ref, trk_ref, rob_ref, trko_ref, top_ref, scal_ref, *,
     ego = jnp.where(f_valid & hit & ~still, cp_ttc, 0.0)
 
     # ---- top-K by CP (risk.select_top_k default path) ----
-    n_valid = jnp.sum(jnp.where(f_valid, 1.0, 0.0), axis=0,
-                      keepdims=True)                    # (1, E)
+    n_valid = jnp.sum(f_valid_f, axis=0, keepdims=True)  # (1, E)
     any_track = n_valid > 0
     live = compute_cp & any_track                       # (1, E)
     score = jnp.where(f_valid, cp, -1e30)
