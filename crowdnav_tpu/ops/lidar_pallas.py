@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ENV = 8          # float32 sublane tile
+TILE_ENV = 128        # envs per program (16 f32 sublane-tiles; 8 was
+                      # launch-bound: 2,048 programs at 16k envs)
 BEAM_PAD = 384        # 359 beams padded to 3 x 128 lanes
 DEG = jnp.pi / 180.0
 
