@@ -12,19 +12,70 @@ robot heading and indices sweep clockwise. We generate the observation-order
 scan directly.
 
 This is the hottest op of the engine (N_env x 359 beams x (P circles + box)).
-The XLA path below broadcasts it into one fused reduction; a Pallas-tiled
-variant lives in `crowdnav_tpu.ops.lidar_pallas`.
+Two TPU layout rules shape the code:
+
+- the beam axis (359 -> 3 lane tiles) is kept minor-most everywhere; packing
+  xy into a trailing dim of 2, or circles into a trailing dim of P=14, would
+  leave the 128-lane VPU registers ~90% empty. Hence component-wise (x, y)
+  scalars-of-vectors instead of ``(..., 2)`` arrays, and the circle axis on
+  the sublane (second-minor) dimension.
+- ``cos/sin(yaw - i deg)`` is expanded via the angle-addition identity
+  against compile-time-constant per-beam tables, so each env spends 2
+  transcendentals instead of ``2 * n_scans``.
+
+A Pallas-tiled variant lives in `crowdnav_tpu.ops.lidar_pallas` (documented
+fallback: XLA's fusion of this path into the surrounding step wins on chip,
+`results/r4/README.md`).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 
+def _beam_trig(yaw, n_scans: int):
+    """Per-beam world-frame direction components ``(dx, dy)``, each
+    ``(n_scans,)`` with the beam axis minor-most."""
+    idx = jnp.arange(n_scans, dtype=jnp.float32)
+    a = idx * (jnp.pi / 180.0)
+    ca, sa = jnp.cos(a), jnp.sin(a)   # constant-folded by XLA
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    return cy * ca + sy * sa, sy * ca - cy * sa
+
+
 def beam_directions(yaw, n_scans: int):
     """(n_scans, 2) world-frame unit directions for the observation beams."""
-    idx = jnp.arange(n_scans, dtype=jnp.float32)
-    ang = yaw - idx * (jnp.pi / 180.0)
-    return jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+    dx, dy = _beam_trig(yaw, n_scans)
+    return jnp.stack([dx, dy], axis=-1)
+
+
+def _box_inside(px, py, dx, dy, half):
+    """Component-wise wall distance; see :func:`raycast_box_inside`."""
+    eps = 1e-12
+    fx = jnp.where(jnp.abs(dx) < eps, eps, dx)
+    fy = jnp.where(jnp.abs(dy) < eps, eps, dy)
+    tx = (jnp.sign(fx) * half - px) / fx
+    ty = (jnp.sign(fy) * half - py) / fy
+    tx = jnp.where(jnp.abs(dx) < eps, jnp.inf, tx)
+    ty = jnp.where(jnp.abs(dy) < eps, jnp.inf, ty)
+    return jnp.minimum(tx, ty)
+
+
+def _circles(px, py, dx, dy, centers, radius):
+    """Component-wise circle raycast: min hit distance per beam, (B,).
+
+    Layout: ``(P, B)`` intermediates — circles on sublanes, beams on lanes.
+    """
+    relx = centers[:, 0] - px                           # (P,)
+    rely = centers[:, 1] - py
+    b = relx[:, None] * dx[None, :] + rely[:, None] * dy[None, :]   # (P, B)
+    rel2 = (relx * relx + rely * rely)[:, None]         # (P, 1)
+    d2 = rel2 - b * b
+    disc = radius * radius - d2
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = b - sq
+    hit = (disc >= 0.0) & (t >= 0.0)
+    t = jnp.where(hit, t, jnp.inf)
+    return jnp.min(t, axis=0)
 
 
 def raycast_box_inside(pos, dirs, half):
@@ -32,10 +83,7 @@ def raycast_box_inside(pos, dirs, half):
     [-half, half]^2, for a ray origin strictly inside. Exact: the exit
     distance along each axis is ``(half*sign(d) - p) / d``; the wall hit is
     the smaller of the two."""
-    safe = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
-    t_axis = (jnp.sign(safe) * half - pos) / safe
-    t_axis = jnp.where(jnp.abs(dirs) < 1e-12, jnp.inf, t_axis)
-    return jnp.min(t_axis, axis=-1)
+    return _box_inside(pos[0], pos[1], dirs[..., 0], dirs[..., 1], half)
 
 
 def raycast_circles(pos, dirs, centers, radius):
@@ -43,29 +91,19 @@ def raycast_circles(pos, dirs, centers, radius):
 
     ``dirs`` (B, 2), ``centers`` (P, 2) -> (B,). Misses are +inf.
     """
-    rel = centers - pos                                 # (P, 2)
-    b = dirs @ rel.T                                    # (B, P)
-    rel2 = jnp.sum(rel * rel, axis=-1)[None, :]         # (1, P)
-    d2 = rel2 - b * b
-    disc = radius * radius - d2
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t = b - sq
-    hit = (disc >= 0.0) & (t >= 0.0)
-    t = jnp.where(hit, t, jnp.inf)
-    return jnp.min(t, axis=-1)
+    return _circles(pos[0], pos[1], dirs[..., 0], dirs[..., 1],
+                    centers, radius)
 
 
 def scan(pos, yaw, ped_pos, ped_radius, room_half_inner,
          max_range, min_range, n_scans: int):
     """Full observation-order lidar scan: (n_scans,) float32 in
     [min_range, max_range], exactly ``max_range`` on free beams."""
-    dirs = beam_directions(yaw, n_scans)
-    t_wall = raycast_box_inside(pos, dirs, room_half_inner)
+    dx, dy = _beam_trig(yaw, n_scans)
+    t = _box_inside(pos[0], pos[1], dx, dy, room_half_inner)
     if ped_pos.shape[0] > 0:
-        t_ped = raycast_circles(pos, dirs, ped_pos, ped_radius)
-        t = jnp.minimum(t_wall, t_ped)
-    else:
-        t = t_wall
+        t = jnp.minimum(t, _circles(pos[0], pos[1], dx, dy,
+                                    ped_pos, ped_radius))
     return jnp.clip(t, min_range, max_range).astype(jnp.float32)
 
 
