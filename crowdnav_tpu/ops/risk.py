@@ -32,10 +32,20 @@ keeps the lowest K when more than K tracks exist, :882-883).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Per-segment aggregation strategy (A/B-able on chip, see segment_scans):
+# "reduce" (default) computes counts / center picks as masked reductions
+# whose (n, S) broadcast-compare inputs fuse into the reduction — nothing
+# (n, S)-shaped touches HBM; "einsum" materializes f32 one-hot operands and
+# contracts them on the MXU (the round-3 formulation). The masked reduce
+# measures faster on chip (env_profile.json): the einsum's two one-hot
+# operands were ~92 KB/env of HBM traffic, dwarfing the tiny matmul.
+_SEG_IMPL = os.environ.get("CROWDNAV_SEG_IMPL", "reduce")
 
 from crowdnav_tpu.envs.config import EnvConfig
 from crowdnav_tpu.envs.world import TrackState
@@ -126,20 +136,28 @@ def segment_scans(cfg: EnvConfig, scans, points):
     n_runs = jnp.max(jnp.where(occupied, run_id_raw + 1, 0))
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    # per-run reductions as dense one-hot contractions: scatters
-    # (segment_sum) serialize on TPU, a (n x S) masked reduce vectorizes.
-    # The three counts contract in ONE (n,S)x(n,3) matmul (MXU) instead of
-    # three separate masked passes over the (n, S) space; counts <= n = 359
-    # are exact in f32.
-    onehot = (run_id[:, None] == jnp.arange(S)[None, :])        # (n, S)
-    feats = jnp.stack([occupied, obs_pt, wall_pt],
-                      axis=-1).astype(jnp.float32)              # (n, 3)
-    counts = jnp.einsum("ns,nf->sf", onehot.astype(jnp.float32),
-                        feats,
-                        precision=jax.lax.Precision.HIGHEST
-                        ).astype(jnp.int32)                     # (S, 3)
-    seg_count, seg_count_o, seg_count_w = (counts[:, 0], counts[:, 1],
-                                           counts[:, 2])
+    # per-run reductions over the (n, S) run-membership space: scatters
+    # (segment_sum) serialize on TPU, so both strategies are dense.
+    onehot = (run_id[:, None] == jnp.arange(S)[None, :])        # (n, S) bool
+    if _SEG_IMPL == "reduce":
+        # masked sum-reductions: the broadcast compare fuses into the
+        # reduce, so no (n, S) operand is ever materialized to HBM
+        def _count(m):
+            return jnp.sum(jnp.where(onehot & m[:, None], 1, 0), axis=0)
+
+        seg_count = _count(occupied)
+        seg_count_o = _count(obs_pt)
+        seg_count_w = _count(wall_pt)
+    else:
+        # one (n,S)x(n,3) MXU contraction; counts <= n = 359 exact in f32
+        feats = jnp.stack([occupied, obs_pt, wall_pt],
+                          axis=-1).astype(jnp.float32)          # (n, 3)
+        counts = jnp.einsum("ns,nf->sf", onehot.astype(jnp.float32),
+                            feats,
+                            precision=jax.lax.Precision.HIGHEST
+                            ).astype(jnp.int32)                 # (S, 3)
+        seg_count, seg_count_o, seg_count_w = (counts[:, 0], counts[:, 1],
+                                               counts[:, 2])
     seg_start = jnp.min(jnp.where(onehot & occupied[:, None],
                                   idx[:, None], n), axis=0)
     seg_valid = seg_count > 0
@@ -179,14 +197,25 @@ def segment_scans(cfg: EnvConfig, scans, points):
         in_first, seg_start + center_rank,
         start_last + (center_rank - count_first))
     center_beam = jnp.clip(center_beam, 0, n - 1)
-    # one-hot contraction instead of scans[center_beam]: the vmapped
-    # per-row dynamic gather lowers to a ~3 ms/step kernel on TPU at 4k
-    # envs (xprof fusion.792, round 3); an (S, n) one-hot matmul is exact
-    # (each row sums exactly one element) and rides the MXU
-    center_oh = (center_beam[:, None]
-                 == jnp.arange(n)[None, :]).astype(jnp.float32)   # (S, n)
-    center_dist = _exact_select(center_oh, scans)
-    center_pos = _exact_select(center_oh, points)
+    # no scans[center_beam] gather: the vmapped per-row dynamic gather
+    # lowers to a ~3 ms/step kernel on TPU at 4k envs (xprof fusion.792,
+    # round 3). Exact alternatives, selected by _SEG_IMPL:
+    center_mask = (center_beam[:, None] == jnp.arange(n)[None, :])  # (S, n)
+    if _SEG_IMPL == "reduce":
+        # masked max-reduce picks the exact f32 value (no arithmetic on
+        # it); the compare fuses into the reduce — nothing materializes
+        def _pick(v):                       # (n,) -> (S,)
+            return jnp.max(jnp.where(center_mask, v[None, :], -jnp.inf),
+                           axis=1)
+
+        center_dist = _pick(scans)
+        center_pos = jnp.stack([_pick(points[:, 0]), _pick(points[:, 1])],
+                               axis=-1)
+    else:
+        # (S, n) one-hot matmul: each row sums exactly one element (MXU)
+        center_oh = center_mask.astype(jnp.float32)
+        center_dist = _exact_select(center_oh, scans)
+        center_pos = _exact_select(center_oh, points)
 
     # -- 4. type confirmation (:568-620) --
     n_valid = jnp.sum(seg_valid.astype(jnp.int32))
