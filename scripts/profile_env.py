@@ -151,6 +151,49 @@ def main():
     res["track_cp_topk_pallas"] = timed_scan(
         pallas_body, (states.tracks, jnp.zeros(())), args.reps)
 
+    # 7c. observation tail stages (the previously-unattributed residual)
+    from crowdnav_tpu.envs import crowd_env as ce
+
+    def sp_body(carry):
+        acc = carry
+        pts = jax.vmap(lambda st, sc: lidar.scan_points(
+            st.pos, st.yaw, sc, cfg.n_scans))(states, jitter(scans0, acc))
+        return acc + jnp.sum(pts)
+    res["scan_points"] = timed_scan(sp_body, jnp.zeros(()), args.reps)
+
+    wp0, dtg0, htg0 = jax.jit(jax.vmap(
+        lambda st: ce._goal_features(cfg, st)))(states)
+
+    def gf_body(carry):
+        acc = carry
+        sts = states.replace(pos=jitter(states.pos, acc))
+        wp, dtg, htg = jax.vmap(lambda st: ce._goal_features(cfg, st))(sts)
+        return acc + jnp.sum(wp) + jnp.sum(dtg) + jnp.sum(htg)
+    res["goal_features"] = timed_scan(gf_body, jnp.zeros(()), args.reps)
+
+    out0 = jax.jit(jax.vmap(lambda sc, pt, tr, st: risk.perceive(
+        cfg, sc, pt, tr, st.pos, st.prev_pos,
+        compute_cp=jnp.ones((), bool))))(scans0, points0, states.tracks,
+                                         states)
+
+    def fo_body(carry):
+        acc = carry
+        o = out0._replace(top_k_pose_vel=jitter(out0.top_k_pose_vel, acc))
+        st2, obs, _, done, ag = jax.vmap(
+            lambda st, sc, o_, w, d, h: ce._finish_observe(
+                cfg, st, sc, o_, w, d, h, jnp.ones((), bool)))(
+            states, scans0, o, wp0, dtg0, htg0)
+        return acc + jnp.sum(obs)
+    res["finish_observe"] = timed_scan(fo_body, jnp.zeros(()), args.reps)
+
+    def rw_body(carry):
+        acc = carry
+        r, st2 = jax.vmap(lambda st, d, h: ce._reward(
+            cfg, st, d, h, jnp.zeros((), bool), jnp.zeros((), bool)))(
+            states, jitter(dtg0, acc), htg0)
+        return acc + jnp.sum(r)
+    res["reward"] = timed_scan(rw_body, jnp.zeros(()), args.reps)
+
     # 8. full env step (everything + reward + reset select)
     res["full_step"] = timed_scan(
         lambda s: env.step_batch(s, actions).state, states, args.reps)
@@ -164,12 +207,19 @@ def main():
     stage_sum = (res["world_step"] + res["raycast"] + res["segmentation"]
                  + res["update_tracks"] + res["collision_probs"]
                  + res["select_top_k"])
+    pallas_parts = (res["world_step"] + res["raycast"] + res["scan_points"]
+                    + res["segmentation"] + res["track_cp_topk_pallas"]
+                    + res["goal_features"] + res["finish_observe"]
+                    + res["reward"])
     out = {k: round(v * 1e3, 4) for k, v in res.items()}
     record = {
         "n_envs": args.n_envs,
         "ms_per_batched_step": out,
         "consistency": {
             "stage_sum_ms": round(stage_sum * 1e3, 4),
+            "pallas_step_parts_ms": round(pallas_parts * 1e3, 4),
+            "pallas_step_residual_ms": round(
+                (res["full_step_risk_pallas"] - pallas_parts) * 1e3, 4),
             "perceive_parts_ms": round(
                 (res["segmentation"] + res["update_tracks"]
                  + res["collision_probs"] + res["select_top_k"]) * 1e3, 4),

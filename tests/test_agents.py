@@ -33,7 +33,8 @@ def test_replay_ring_and_mask():
     # masked add: rows 0 and 2 dropped -> kept rows first, tail duplicates
     st = buf.add_batch(st, tr, mask=jnp.array([False, True, False, True]))
     assert int(st.size) == 8 and int(st.head) == 0
-    np.testing.assert_allclose(st.reward[1], [1.0, 3.0, 1.0, 3.0])
+    np.testing.assert_allclose(buf.read_block(st, 1).reward,
+                               [1.0, 3.0, 1.0, 3.0])
     # wraps around, overwriting block 0
     st = buf.add_batch(st, tr)
     assert int(st.head) == 1 and int(st.size) == 8
@@ -42,6 +43,36 @@ def test_replay_ring_and_mask():
     assert int(st2.head) == int(st.head)
     batch = buf.sample(st, jax.random.PRNGKey(0), 16)
     assert batch.obs.shape == (16, 3)
+
+
+def test_replay_packed_record_bit_exact():
+    """bf16 ring: the 32-bit fields are BITCAST into storage lanes — the
+    round trip must be bit-exact (not merely close), for continuous and
+    discrete action layouts; obs degrade only by the bf16 convert."""
+    for act_dim in (2, None):
+        buf = ReplayBuffer(capacity=8, obs_dim=5, act_dim=act_dim, block=4,
+                           obs_dtype=jnp.bfloat16)
+        ks = jax.random.split(jax.random.PRNGKey(0), 5)
+        action = (jax.random.normal(ks[1], (4, 2)) if act_dim
+                  else jax.random.randint(ks[1], (4,), 0, 3))
+        tr = Transition(
+            obs=jax.random.normal(ks[0], (4, 5)),
+            action=action,
+            reward=jax.random.normal(ks[2], (4,)) * 200.0,
+            next_obs=jax.random.normal(ks[3], (4, 5)),
+            done=(jax.random.uniform(ks[4], (4,)) < 0.5).astype(
+                jnp.float32))
+        st = buf.add_batch(buf.init(), tr)
+        out = buf.read_block(st, 0)
+        np.testing.assert_array_equal(np.asarray(out.action),
+                                      np.asarray(action))
+        np.testing.assert_array_equal(np.asarray(out.reward),
+                                      np.asarray(tr.reward))
+        np.testing.assert_array_equal(np.asarray(out.done),
+                                      np.asarray(tr.done))
+        assert out.obs.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out.obs, np.float32),
+                                   np.asarray(tr.obs), rtol=8e-3, atol=1e-2)
 
 
 def test_td3_update_moves_critic_toward_target():

@@ -102,9 +102,10 @@ def test_replay_obs_dtype_bfloat16():
                                     learn_start=4,
                                     replay_obs_dtype="bfloat16"))
     state = trainer.init(jax.random.PRNGKey(0))
-    assert state.replay.obs.dtype == jnp.bfloat16
-    assert state.replay.next_obs.dtype == jnp.bfloat16
-    assert state.replay.reward.dtype == jnp.float32
+    assert state.replay.data.dtype == jnp.bfloat16
+    # bitcast lanes, not converted values: sampled rewards come back f32
+    batch0 = trainer.buffer.sample(state.replay, jax.random.PRNGKey(9), 4)
+    assert batch0.reward.dtype == jnp.float32
     state = trainer.make_jitted()(state)
     state = trainer.make_jitted()(state)      # second chunk hits the learner
     batch = trainer.buffer.sample(state.replay, jax.random.PRNGKey(1), 4)
