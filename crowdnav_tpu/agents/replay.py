@@ -158,9 +158,8 @@ class ReplayBuffer:
         else:
             write = jnp.ones((), bool)
 
-        rows = self._pack(tr)[None]            # (1, block, record)
-
         def do_write(state):
+            rows = self._pack(tr)[None]        # (1, block, record)
             return state.replace(
                 data=jax.lax.dynamic_update_slice_in_dim(
                     state.data, rows, state.head, axis=0),

@@ -80,7 +80,8 @@ def _circles(px, py, dx, dy, centers, radius):
 
 def raycast_box_inside(pos, dirs, half):
     """Distance to the inner wall faces of the axis-aligned square room
-    [-half, half]^2, for a ray origin strictly inside. Exact: the exit
+    [-half, half]^2, for a single ray origin ``pos: (2,)`` strictly inside
+    (batch via ``vmap``, as all in-repo callers do). Exact: the exit
     distance along each axis is ``(half*sign(d) - p) / d``; the wall hit is
     the smaller of the two."""
     return _box_inside(pos[0], pos[1], dirs[..., 0], dirs[..., 1], half)
@@ -89,7 +90,8 @@ def raycast_box_inside(pos, dirs, half):
 def raycast_circles(pos, dirs, centers, radius):
     """Min distance per beam to any of the circles.
 
-    ``dirs`` (B, 2), ``centers`` (P, 2) -> (B,). Misses are +inf.
+    ``pos`` (2,) single origin (batch via ``vmap``), ``dirs`` (B, 2),
+    ``centers`` (P, 2) -> (B,). Misses are +inf.
     """
     return _circles(pos[0], pos[1], dirs[..., 0], dirs[..., 1],
                     centers, radius)

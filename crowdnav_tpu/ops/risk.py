@@ -46,6 +46,9 @@ import jax.numpy as jnp
 # measures faster on chip (env_profile.json): the einsum's two one-hot
 # operands were ~92 KB/env of HBM traffic, dwarfing the tiny matmul.
 _SEG_IMPL = os.environ.get("CROWDNAV_SEG_IMPL", "reduce")
+if _SEG_IMPL not in ("reduce", "einsum"):
+    raise ValueError(
+        f"CROWDNAV_SEG_IMPL={_SEG_IMPL!r}: must be 'reduce' or 'einsum'")
 
 from crowdnav_tpu.envs.config import EnvConfig
 from crowdnav_tpu.envs.world import TrackState

@@ -54,7 +54,22 @@ def restore_checkpoint(path: str, template, step: int | None = None):
                     f"*.orbax-checkpoint-tmp dirs don't count); cannot "
                     f"resume")
         abstract = jax.tree.map(_abstract_like, template)
-        return mgr.restore(step, args=ocp.args.StandardRestore(abstract)), step
+        try:
+            return (mgr.restore(step,
+                                args=ocp.args.StandardRestore(abstract)),
+                    step)
+        except (KeyError, ValueError, TypeError) as e:
+            # The round-4 replay restructure (five field rings -> one
+            # packed `data` ring) changed the trainer-state tree, so full
+            # `--resume` from pre-change checkpoints structurally cannot
+            # restore. Agent-only restore (evaluate --checkpoint) is
+            # unaffected.
+            raise RuntimeError(
+                f"checkpoint at {path} step {step} does not match the "
+                f"current trainer-state structure; full-state resume of "
+                f"checkpoints written before the packed-replay format "
+                f"(results/r4) is not supported — re-train, or evaluate "
+                f"the agent subtree via restore_agent_state") from e
 
 
 def restore_agent_state(path: str, agent_template, step: int | None = None):
