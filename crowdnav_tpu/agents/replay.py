@@ -15,7 +15,8 @@ TPU-native design notes:
   of auto-resetting envs) are replaced inside the block by duplicates of
   kept rows from the same batch rather than skipped. At episode-boundary
   rates (<2% of rows for 50+-step episodes) the uniform-sampling bias is
-  negligible; an all-masked batch skips the write wholly.
+  negligible; an all-masked batch rewrites the head block with its own
+  current contents and advances nothing (observably a no-op).
 
 - **One packed record per transition.** The round-4 xprof trace of the
   converging config showed the learner's five per-field sample gathers
@@ -158,16 +159,26 @@ class ReplayBuffer:
         else:
             write = jnp.ones((), bool)
 
-        def do_write(state):
-            rows = self._pack(tr)[None]        # (1, block, record)
-            return state.replace(
-                data=jax.lax.dynamic_update_slice_in_dim(
-                    state.data, rows, state.head, axis=0),
-                head=(state.head + 1) % self.n_blocks,
-                size=jnp.minimum(state.size + n, self.capacity),
-            )
-
-        return jax.lax.cond(write, do_write, lambda s: s, state)
+        # unconditional write: wrapping the ring store in `lax.cond` cost
+        # ~0.7 ms/step on chip (conditional.18 in the r4 xprof trace —
+        # conditionals break XLA's pipelining around the 1.6 GB ring); a
+        # skipped batch (write=False, astronomically rare: EVERY env
+        # terminal in the same step) instead rewrites the head block with
+        # its own current contents — a ~26 MB read, bit-identical result —
+        # and leaves head/size untouched.
+        rows = self._pack(tr)[None]            # (1, block, record)
+        cur = jax.lax.dynamic_slice_in_dim(state.data, state.head, 1,
+                                           axis=0)
+        rows = jnp.where(write, rows, cur)
+        return state.replace(
+            data=jax.lax.dynamic_update_slice_in_dim(
+                state.data, rows, state.head, axis=0),
+            head=jnp.where(write, (state.head + 1) % self.n_blocks,
+                           state.head),
+            size=jnp.where(write,
+                           jnp.minimum(state.size + n, self.capacity),
+                           state.size),
+        )
 
     def sample(self, state: ReplayState, key: jax.Array,
                batch_size: int) -> Transition:

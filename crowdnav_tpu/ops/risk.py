@@ -109,9 +109,16 @@ def segment_scans(cfg: EnvConfig, scans, points):
     nxt = lambda a: jnp.roll(a, -1, axis=0)   # ring neighbour i+1 (wraps)
     prv = lambda a: jnp.roll(a, 1, axis=0)
 
+    # component-wise x/y throughout: slicing the packed (n, 2) points
+    # per-expression left trailing-size-1 dims in the lowered HLO, which
+    # XLA tiled as T(1,128) pred/f32 chains costing ~1.3 ms/step at 16k
+    # envs (not_and_fusion.2 in the r4 xprof trace)
+    px, py = points[:, 0], points[:, 1]
+    npx, npy = nxt(px), nxt(py)
+
     # -- 1. gradients (x-over-y, the gazebo-axis-swap convention :334-345) --
-    dx = points[:, 0] - nxt(points)[:, 0]
-    dy = points[:, 1] - nxt(points)[:, 1]
+    dx = px - npx
+    dy = py - npy
     grad = jnp.where(dy == 0.0, 0.0, dx / jnp.where(dy == 0.0, 1.0, dy))
     grad = jnp.round(grad, cfg.grad_round_decimals)
     grad_valid = occupied
@@ -128,7 +135,9 @@ def segment_scans(cfg: EnvConfig, scans, points):
 
     # -- 3. run segmentation --
     bbox = ground_truth_bbox_size(cfg)
-    assoc_next = geom.boxes_associated(points, nxt(points), bbox)  # side 2b
+    # component-wise geom.boxes_associated(points, nxt(points), bbox)
+    side = 2.0 * bbox
+    assoc_next = (jnp.abs(dx) < side) & (jnp.abs(dy) < side)
     boundary_prev = ~prv(occupied) | ~prv(assoc_next)
     start = occupied & boundary_prev
     # beam 0 always opens a run (runs are scanned linearly; ring closure is
@@ -212,8 +221,7 @@ def segment_scans(cfg: EnvConfig, scans, points):
                            axis=1)
 
         center_dist = _pick(scans)
-        center_pos = jnp.stack([_pick(points[:, 0]), _pick(points[:, 1])],
-                               axis=-1)
+        center_pos = jnp.stack([_pick(px), _pick(py)], axis=-1)
     else:
         # (S, n) one-hot matmul: each row sums exactly one element (MXU)
         center_oh = center_mask.astype(jnp.float32)
