@@ -20,6 +20,6 @@ while IFS= read -r line; do
   echo "=== $(date +%T) START: $line"
   timeout 5400 bash -c "$line"
   echo "=== $(date +%T) DONE rc=$? : $line"
-  sleep 90
+  sleep "${COOLDOWN:-90}"
 done < "$CHAIN"
 echo "=== $(date +%T) CHAIN COMPLETE: $CHAIN"
