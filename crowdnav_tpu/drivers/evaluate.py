@@ -41,6 +41,15 @@ SUITES = {
     # in-distribution success check used to validate a training run
     "train": [("crowd_dense", "crowd")],
     "train_sparse": [("crowd_sparse", "crowd")],
+    # harder-than-published regimes where the perceived-risk features should
+    # bind hardest (VERDICT r4 item 1): ±0.5 m/s crowds in the 3x3 training
+    # room, 20 pedestrians in the 3x3 room (no reference counterpart), and
+    # the 20-ped test patterns at 5x the published 0.04 m/s speed. The first
+    # three run with collisions terminating (training-world min_scan_range);
+    # the test_20 rows keep the eval-protocol min_scan_range=0.
+    "hard": [("crowd_dense", "crowd_highspeed"), ("crowd_20", "crowd"),
+             ("crowd_20", "crowd_highspeed"), ("test_20", "crossing_fast"),
+             ("test_20", "towards_fast"), ("test_20", "random_fast")],
 }
 
 
@@ -53,7 +62,15 @@ def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
     — the batched stand-in for the episode-to-episode physics variation of
     the reference's Gazebo test worlds; without it, fixed-pattern behaviors
     make all N envs bit-identical and the success rate degenerates to
-    {0, 1}."""
+    {0, 1}.
+
+    Episode accounting: one ``max_steps`` chunk is rolled and only episodes
+    that COMPLETE inside it are counted (an env's in-flight 2nd+ episode at
+    chunk end is dropped, never truncated-as-failure). Auto-reset episodes
+    after the first re-draw their spawn from the jittered reset bank, so
+    with ``jitter`` > 0 the 2nd+ episodes sample the same spawn distribution
+    as episode 1 up to bank discretization (``reset_bank = n_envs``
+    distinct spawns)."""
     cfg = make_config(world, behavior, max_steps=max_steps, jitter=jitter,
                       ablation=ablation)
     env_cls = CrowdEnv if algo in RISK_ENV_ALGOS else SimpleEnv

@@ -34,13 +34,37 @@ def _state_index(obs):
     return discretize_state(dtg, htg)
 
 
-def make_rollout(env: SimpleEnv, algo, chunk: int, learning: bool = True):
-    """Jitted chunk: carry = (env_states, obs, actions, tab, key, stats)."""
+def make_rollout(env: SimpleEnv, algo, chunk: int, learning: bool = True,
+                 bank=None):
+    """Jitted chunk: carry = (env_states, obs, actions, tab, key, stats).
+
+    ``bank`` = pre-randomized ``(states, obs)`` reset bank (leading axis B):
+    auto-resets draw from it instead of the env's single deterministic
+    template, so greedy evaluation counts B distinct episodes rather than
+    one repeated trajectory (the Trainer's reset-bank mechanism,
+    `parallel/runtime.py`)."""
 
     def one_step(carry, _):
         env_states, obs, actions, tab, key, stats = carry
-        key, k_act = jax.random.split(key)
+        key, k_act, k_bank = jax.random.split(key, 3)
+        was_done = env_states.done
         out = jax.vmap(env.step_discrete)(env_states, actions)
+        if bank is not None:
+            bank_states, bank_obs = bank
+            k_idx, k_fresh = jax.random.split(k_bank)
+            n = was_done.shape[0]
+            idx = jax.random.randint(k_idx, (n,), 0, bank_obs.shape[0])
+            fresh = jax.random.split(k_fresh, n)
+            b_state = jax.tree.map(lambda a: a[idx],
+                                   bank_states).replace(key=fresh)
+
+            def sel(a, b):
+                m = was_done.reshape(was_done.shape + (1,) * (a.ndim - 1))
+                return jnp.where(m, a, b)
+
+            out = out._replace(
+                state=jax.tree.map(sel, b_state, out.state),
+                obs=sel(bank_obs[idx], out.obs))
         s = _state_index(obs)
         s2 = _state_index(out.obs)
         k_envs = jax.random.split(k_act, s2.shape[0])
@@ -95,7 +119,14 @@ def main(argv=None):
                    help="resume from a saved Q-table .npz (the reference "
                         "loads a pretrained pickle at qlearn.py:23)")
     p.add_argument("--no-learning", action="store_true",
-                   help="greedy evaluation only (reference eval mode)")
+                   help="greedy evaluation only (reference eval mode; the "
+                        "CSV is written as <algo>_training_test.csv, the "
+                        "reference's qlearn_training_dis_no_greedy_test*."
+                        "csv pattern)")
+    p.add_argument("--jitter", type=float, default=0.0,
+                   help="reset-randomization scale so N greedy eval envs "
+                        "are N distinct episodes (deterministic worlds "
+                        "otherwise collapse the batch to one episode)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None,
                    help="JAX platform override, e.g. 'cpu'")
@@ -103,15 +134,20 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    cfg = make_config(args.world, args.behavior, max_steps=args.max_steps)
+    cfg = make_config(args.world, args.behavior, max_steps=args.max_steps,
+                      jitter=args.jitter)
     env = SimpleEnv(cfg)
     algo = (QLearning if args.algo == "qlearn" else Sarsa)(TabularConfig())
     tab = load_table(args.load) if args.load else algo.init()
 
     key = jax.random.PRNGKey(args.seed)
-    key, k_env = jax.random.split(key)
-    env_states, obs = jax.vmap(env.reset)(
-        jax.random.split(k_env, args.n_envs))
+    key, k_env, k_bank = jax.random.split(key, 3)
+    batched_reset = jax.jit(jax.vmap(env.reset))
+    env_states, obs = batched_reset(jax.random.split(k_env, args.n_envs))
+    bank = None
+    if args.jitter:
+        bank = batched_reset(
+            jax.random.split(k_bank, max(256, args.n_envs)))
     actions = jnp.zeros(args.n_envs, jnp.int32)
     stats = (jnp.zeros(args.n_envs), jnp.zeros(args.n_envs, jnp.int32),
              jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
@@ -119,8 +155,10 @@ def main(argv=None):
     carry = (env_states, obs, actions, tab, key, stats)
 
     rollout = make_rollout(env, algo, args.chunk,
-                           learning=not args.no_learning)
-    logger = EpisodeLogger(args.outdir, f"{args.algo}_training")
+                           learning=not args.no_learning, bank=bank)
+    logger = EpisodeLogger(
+        args.outdir,
+        f"{args.algo}_training" + ("_test" if args.no_learning else ""))
     steps_per_chunk = args.n_envs * args.chunk
     n_chunks = max(1, int(args.env_steps // steps_per_chunk))
     ep_base = 0

@@ -98,6 +98,14 @@ _DENSE_PEDS = ((-0.01, -1.0), (-1.15, -0.3), (-0.32, -0.12), (-0.85, 0.92),
                (0.22, 0.54), (0.22, 0.54))
 _SPARSE_PEDS = ((-0.01, -1.0), (-1.15, -0.3), (-0.32, -0.12), (-0.85, 0.92),
                 (0.65, 0.2), (0.22, 0.54))
+# 20 pedestrians in the 3x3 training room: the dense-world spawns extended
+# the way the dense world itself piles extras — obstacles 8-14 all spawn at
+# (0.22, 0.54) (turtlebot3_crowd_dense.world:86-925) and only separate once
+# driven; eval uses jitter so the stack disperses at reset. This world has
+# no reference counterpart (the reference never runs 20 peds in the 3x3
+# room) — it is the "harder than published" probe suite for the risk
+# ablation (VERDICT r4 item 1).
+_DENSE20_PEDS = _DENSE_PEDS + tuple((0.22, 0.54) for _ in range(6))
 # Test worlds list obstacles in script-driving order (obstacle_<i> ascending
 # subset; the simulate_*_{4,8,12,20}.py scripts address them in this order).
 _TEST4_PEDS = ((-1.28, -0.75), (-0.66, -0.86), (-1.46, 1.29), (-0.48, 1.28))
@@ -294,6 +302,9 @@ WORLD_PRESETS = {
     "crowd_none": dict(n_peds=0, ped_init=(), behavior=CrowdBehavior.STATIC),
     "crowd_sparse": dict(n_peds=6, ped_init=_SPARSE_PEDS),
     "crowd_dense": dict(n_peds=14, ped_init=_DENSE_PEDS),
+    # harder-than-published probe world: 20 peds in the 3x3 training room
+    # (collisions terminate; see _DENSE20_PEDS note)
+    "crowd_20": dict(n_peds=20, ped_init=_DENSE20_PEDS),
     # evaluation worlds (5x5 room, start (1,0) yaw pi, goal (-2,2),
     # min_scan_range 0 so collisions don't truncate — README.md:66-68)
     "test_4": dict(n_peds=4, ped_init=_TEST4_PEDS, room_size=5.0,

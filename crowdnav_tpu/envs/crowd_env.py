@@ -184,7 +184,8 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
     scans, points = _sense(cfg, state, scans)
     waypoint, dtg, htg = _goal_features(cfg, state)
     out = risk.perceive(cfg, scans, points, state.tracks, state.pos,
-                        state.prev_pos, compute_cp=compute_cp)
+                        state.prev_pos, compute_cp=compute_cp,
+                        yaw=state.yaw)
     return _finish_observe(cfg, state, scans, out, waypoint, dtg, htg,
                            compute_cp)
 
@@ -216,7 +217,12 @@ def _observe_batch(cfg: EnvConfig, states: EnvState, compute_cp,
         ego_violation=jnp.any(
             segs.is_obstacle
             & (segs.center_dist < cfg.ego_distance_threshold), axis=-1),
-        segments=segs)
+        segments=segs,
+        segment_regions=jax.vmap(
+            lambda st, sg: jnp.where(
+                sg.valid, geom.social_region(st.pos, st.yaw, sg.center_pos,
+                                             sg.center_dist), 0)
+        )(states, segs))
     return jax.vmap(
         lambda st, sc, o, wp, d, h, cc: _finish_observe(
             cfg, st, sc, o, wp, d, h, cc)

@@ -138,34 +138,79 @@ def box_iou(a_xy, b_xy, half_size):
 
 
 def boxes_associated(a_xy, b_xy, half_size):
-    """True when the two squares overlap (IOU > 0), the reference's
-    Hungarian-association predicate `utils.is_associated:435-448`."""
+    """The reference's Hungarian-association predicate
+    `utils.is_associated:435-448`: ``round(IOU, 3) > 0`` — the IOU is
+    rounded to 3 decimals BEFORE the check, so sliver overlaps with
+    IOU <= 5e-4 do NOT associate (caught by the direct parity test
+    against the reference source). Closed form without the division:
+    ``inter/union > 5e-4  <=>  inter * 1.0005 > 1e-3 * side^2`` with
+    ``union = 2*side^2 - inter``."""
     side = 2.0 * half_size
     dx = jnp.abs(a_xy[..., 0] - b_xy[..., 0])
     dy = jnp.abs(a_xy[..., 1] - b_xy[..., 1])
-    return (dx < side) & (dy < side)
+    inter = jnp.maximum(side - dx, 0.0) * jnp.maximum(side - dy, 0.0)
+    return inter * 1.0005 > 1e-3 * side * side
 
 
-def social_region(rel_heading, dist):
-    """Social-region code of an obstacle around the robot.
+def _in_parallelogram(px, py, quad):
+    """Strict point-in-convex-quad: every edge cross product shares a sign
+    (boundary excluded — shapely's ``Polygon.contains`` semantics)."""
+    (ax_, ay), (bx, by), (cx, cy), (dx_, dy) = quad
 
-    Vectorized stand-in for `utils.get_obstacle_region:146-215`, which builds
-    front-left / front-right rectangles ahead of the robot and buckets by
-    proximity. We classify by relative bearing (|heading| < pi/2 => frontal)
-    and the same 0.3 m close/far split:
+    def cross(x1, y1, x2, y2):
+        return (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+
+    c1 = cross(ax_, ay, bx, by)
+    c2 = cross(bx, by, cx, cy)
+    c3 = cross(cx, cy, dx_, dy)
+    c4 = cross(dx_, dy, ax_, ay)
+    pos = (c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)
+    neg = (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)
+    return pos | neg
+
+
+def social_region(robot_xy, yaw, pts_xy, scans):
+    """Social-region code per obstacle point — the EXACT rectangle geometry
+    of `utils.get_obstacle_region:146-215` in closed form.
+
+    The reference converts yaw via `convert_yaw_to_360deg:356-364`
+    (``|deg(yaw) - 180|``), builds two r=0.16 m-wide parallelograms
+    extending 0.6 m from the robot along the ``-cos/+sin`` heading axis
+    (the gazebo axis-swap convention used throughout its geometry), and
+    tests shapely ``Polygon.contains`` per point, bucketing by the SCAN
+    range (0.3 < s < 0.6 far, s < 0.3 close). Front-left is checked after
+    front-right and overwrites it, reproduced here by the where-order.
 
       0 = OTHER, 1 = FRF (front-right far),  2 = FLF (front-left far),
       3 = FRC (front-right close), 4 = FLC (front-left close)
+
+    ``robot_xy`` (2,), ``yaw`` (), ``pts_xy`` (..., 2), ``scans`` (...).
     """
-    frontal = jnp.abs(rel_heading) < (jnp.pi / 2.0)
-    right = rel_heading < 0.0
-    far = (dist > 0.3) & (dist < 0.6)
-    close = dist < 0.3
-    code = jnp.zeros_like(dist, dtype=jnp.int32)
-    code = jnp.where(frontal & far & right, 1, code)
-    code = jnp.where(frontal & far & ~right, 2, code)
-    code = jnp.where(frontal & close & right, 3, code)
-    code = jnp.where(frontal & close & ~right, 4, code)
+    heading = jnp.abs(jnp.degrees(yaw) - 180.0)    # convert_yaw_to_360deg
+    hr = jnp.radians(heading)
+    rx, ry = robot_xy[0], robot_xy[1]
+    fx = rx - 0.6 * jnp.cos(hr)                    # far_center (:158-159)
+    fy = ry + 0.6 * jnp.sin(hr)
+    # right-side offset (:162-163); the left offset is its negation
+    ox = -0.16 * jnp.cos(hr + jnp.pi / 2.0)
+    oy = 0.16 * jnp.sin(hr + jnp.pi / 2.0)
+    px, py = pts_xy[..., 0], pts_xy[..., 1]
+    # front_right_polygon (:176-178): close_right, far_right, far_center,
+    # robot; front_left_polygon (:179-181): robot, far_center, far_left,
+    # close_left — both parallelograms
+    in_fr = _in_parallelogram(px, py, ((rx + ox, ry + oy),
+                                       (fx + ox, fy + oy), (fx, fy),
+                                       (rx, ry)))
+    in_fl = _in_parallelogram(px, py, ((rx, ry), (fx, fy),
+                                       (fx - ox, fy - oy),
+                                       (rx - ox, ry - oy)))
+    far = (scans > 0.3) & (scans < 0.6)            # (:195-197)
+    close = scans < 0.3
+    code = jnp.zeros_like(px, dtype=jnp.int32)
+    code = jnp.where(far & in_fr, 1, code)
+    code = jnp.where(far & in_fl, 2, code)
+    code = jnp.where(close & in_fr, 3, code)
+    code = jnp.where(close & in_fl, 4, code)
     return code
 
 

@@ -82,6 +82,11 @@ class RiskOutput(NamedTuple):
     obstacle_seen: jax.Array    # () bool — any confirmed obstacle (:653)
     ego_violation: jax.Array    # () bool — obstacle closer than 0.140 (:999)
     segments: Segments
+    # (S,) int32 social-region code of each segment center (the reference
+    # computes FRF/FLF/FRC/FLC per scan point, :296-305; per-segment here —
+    # geom.social_region docstring has the code table). None when the caller
+    # did not supply a yaw (regions are debug/viz data, not policy input).
+    segment_regions: jax.Array | None = None
 
 
 def ground_truth_bbox_size(cfg: EnvConfig) -> float:
@@ -135,9 +140,13 @@ def segment_scans(cfg: EnvConfig, scans, points):
 
     # -- 3. run segmentation --
     bbox = ground_truth_bbox_size(cfg)
-    # component-wise geom.boxes_associated(points, nxt(points), bbox)
+    # component-wise geom.boxes_associated(points, nxt(points), bbox):
+    # round(IOU, 3) > 0, i.e. inter * 1.0005 > 1e-3 * side^2 (the
+    # reference rounds before the check — see boxes_associated docstring)
     side = 2.0 * bbox
-    assoc_next = (jnp.abs(dx) < side) & (jnp.abs(dy) < side)
+    inter = (jnp.maximum(side - jnp.abs(dx), 0.0)
+             * jnp.maximum(side - jnp.abs(dy), 0.0))
+    assoc_next = inter * 1.0005 > 1e-3 * side * side
     boundary_prev = ~prv(occupied) | ~prv(assoc_next)
     start = occupied & boundary_prev
     # beam 0 always opens a run (runs are scanned linearly; ring closure is
@@ -408,10 +417,11 @@ def select_top_k(cfg: EnvConfig, tracks: TrackState, cp, live, robot_pos):
 
 
 def perceive(cfg: EnvConfig, scans, points, tracks: TrackState,
-             robot_pos, robot_prev_pos, compute_cp=True) -> RiskOutput:
+             robot_pos, robot_prev_pos, compute_cp=True,
+             yaw=None) -> RiskOutput:
     """Full pipeline for one env. ``compute_cp=False`` reproduces the reset
     path where the agent pose deque has a single entry and the CP block is
-    skipped (:769)."""
+    skipped (:769). ``yaw`` additionally fills ``segment_regions``."""
     segs = segment_scans(cfg, scans, points)
     new_tracks = update_tracks(cfg, tracks, segs)
 
@@ -430,7 +440,13 @@ def perceive(cfg: EnvConfig, scans, points, tracks: TrackState,
     ego_cp = jnp.where(live, jnp.max(jnp.where(new_tracks.valid, ego, 0.0)),
                        0.0)
 
+    regions = None
+    if yaw is not None:
+        regions = jnp.where(
+            segs.valid, geom.social_region(robot_pos, yaw, segs.center_pos,
+                                           segs.center_dist), 0)
     return RiskOutput(tracks=new_tracks, top_k_pose_vel=top_pose_vel,
                       top_k_cp=top_cp, cp_max=cp_max, ego_cp=ego_cp,
                       obstacle_seen=obstacle_seen,
-                      ego_violation=ego_violation, segments=segs)
+                      ego_violation=ego_violation, segments=segs,
+                      segment_regions=regions)

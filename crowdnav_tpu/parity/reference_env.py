@@ -185,7 +185,11 @@ class NumpyCrowdEnv:
             if cur:
                 p, q = pts[cur[-1]], pts[i]
                 side = 2 * self.bbox
-                if abs(p[0] - q[0]) < side and abs(p[1] - q[1]) < side:
+                # reference-style association: round(IOU, 3) > 0
+                # (utils.is_associated:435-448 rounds before the check)
+                inter = (max(side - abs(p[0] - q[0]), 0.0)
+                         * max(side - abs(p[1] - q[1]), 0.0))
+                if round(inter / (2 * side * side - inter), 3) > 0.0:
                     cur.append(i)
                 else:
                     segs.append(cur)
@@ -198,11 +202,13 @@ class NumpyCrowdEnv:
                 and segs[0][0] == 0 and segs[-1][-1] == n - 1:
             p, q = pts[0], pts[n - 1]
             side = 4 * self.bbox     # doubled box across the blind spot
-            if abs(p[0] - q[0]) < side and abs(p[1] - q[1]) < side:
+            inter = (max(side - abs(p[0] - q[0]), 0.0)
+                     * max(side - abs(p[1] - q[1]), 0.0))
+            if round(inter / (2 * side * side - inter), 3) > 0.0:
                 segs[0] = segs[0] + segs.pop()
 
         # confirmation
-        confirmed = []      # (is_obstacle, pos, dist)
+        confirmed = []      # (is_obstacle, pos, dist, region)
         n_segs = len(segs)
         for beams in segs:
             count = len(beams)
@@ -221,11 +227,46 @@ class NumpyCrowdEnv:
                     is_o = n_o > n_w
                 else:
                     is_o = False
-                confirmed.append((is_o, pts[center], d_c))
+                confirmed.append((is_o, pts[center], d_c,
+                                  self._region(pts[center], d_c)))
             else:
                 if count > min(n_segs, est):
-                    confirmed.append((n_o > 0, pts[center], d_c))
+                    confirmed.append((n_o > 0, pts[center], d_c,
+                                      self._region(pts[center], d_c)))
         return confirmed
+
+    def _region(self, pt, scan):
+        """Social-region code of a segment center, following the reference's
+        literal degree-based polygon construction (`utils.get_obstacle_region
+        :146-215`, yaw conversion `:356-364`) with matplotlib's crossing-
+        number point-in-polygon as the shapely ``contains`` stand-in — an
+        implementation independent of `ops/geom.social_region`'s closed-form
+        parallelogram cross products. 0/1/2/3/4 = OTHER/FRF/FLF/FRC/FLC."""
+        from matplotlib.path import Path
+
+        heading = abs(math.degrees(self.yaw) - 180.0)
+        fx = self.x - 0.6 * math.cos(math.radians(heading))
+        fy = self.y + 0.6 * math.sin(math.radians(heading))
+        ox = -0.16 * math.cos(math.radians((90.0 + heading) % 360.0))
+        oy = 0.16 * math.sin(math.radians((90.0 + heading) % 360.0))
+        lx = -0.16 * math.cos(math.radians((270.0 + heading) % 360.0))
+        ly = 0.16 * math.sin(math.radians((270.0 + heading) % 360.0))
+        fr = Path([(self.x + ox, self.y + oy), (fx + ox, fy + oy),
+                   (fx, fy), (self.x, self.y)])
+        fl = Path([(self.x, self.y), (fx, fy), (fx + lx, fy + ly),
+                   (self.x + lx, self.y + ly)])
+        region = 0
+        if 0.3 < scan < 0.6:
+            if fr.contains_point(pt):
+                region = 1
+            if fl.contains_point(pt):
+                region = 2
+        if scan < 0.3:
+            if fr.contains_point(pt):
+                region = 3
+            if fl.contains_point(pt):
+                region = 4
+        return region
 
     def _track(self, confirmed):
         cfg = self.cfg
@@ -235,7 +276,7 @@ class NumpyCrowdEnv:
             if tr is None:
                 continue
             best, best_iou = None, 0.0
-            for j, (_, pos, dist) in enumerate(confirmed):
+            for j, (_, pos, dist, _r) in enumerate(confirmed):
                 dx = abs(tr["pos"][0] - pos[0])
                 dy = abs(tr["pos"][1] - pos[1])
                 inter = max(side - dx, 0.0) * max(side - dy, 0.0)
@@ -245,14 +286,14 @@ class NumpyCrowdEnv:
             if best is None:
                 self.tracks[slot] = None
                 continue
-            is_o, pos, dist = confirmed[best]
+            is_o, pos, dist, _r = confirmed[best]
             delta = (tr["pos"][0] - pos[0], tr["pos"][1] - pos[1])
             tr["prev"], tr["pos"], tr["dist"] = tr["pos"], pos, dist
             tr["speed"] = math.hypot(*delta) / cfg.dt
             tr["vel"] = (delta[0] / cfg.dt, delta[1] / cfg.dt)
             tr["has_prev"] = True
             claimed[best] = True
-        for j, (is_o, pos, dist) in enumerate(confirmed):
+        for j, (is_o, pos, dist, _r) in enumerate(confirmed):
             if claimed[j] or not is_o:
                 continue
             try:
@@ -335,6 +376,9 @@ class NumpyCrowdEnv:
         self.last_dtg, self.last_htg = dtg, htg
 
         confirmed = self._segment(scans, pts)
+        # per-confirmed-segment social regions (beam order), for parity
+        # against the JAX RiskOutput.segment_regions
+        self.last_regions = [(is_o, p, r) for is_o, p, _d, r in confirmed]
         self._track(confirmed)
         if compute_cp and any(tr is not None for tr in self.tracks):
             top, self.ego_cp, self.cp_max = self._collision_probs()

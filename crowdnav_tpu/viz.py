@@ -112,12 +112,12 @@ def render_frame(cfg, state, scans=None, cp=None, ax=None, title=None):
                     f"CP={float(cp[i]):.2f}", fontsize=7, color=c)
         # social-region tag (`utils.get_obstacle_region:146-215` — the
         # reference computes FRF/FLF/FRC/FLC per obstacle for its social-
-        # navigation debugging; here it annotates the same debug view)
+        # navigation debugging; here it annotates the same debug view
+        # with the exact rectangle-polygon geometry)
         rel = tpos[i] - np.asarray(state.pos)
-        bearing = math.atan2(rel[1], rel[0]) - float(state.yaw)
-        bearing = (bearing + math.pi) % (2 * math.pi) - math.pi
-        region = int(geom.social_region(jnp.asarray(bearing),
-                                        jnp.asarray(np.linalg.norm(rel))))
+        region = int(geom.social_region(
+            jnp.asarray(state.pos), jnp.asarray(state.yaw),
+            jnp.asarray(tpos[i]), jnp.asarray(np.linalg.norm(rel))))
         tag = ("", "FRF", "FLF", "FRC", "FLC")[region]
         if tag:
             ax.text(tpos[i, 0] + 0.06, tpos[i, 1] - 0.06, tag,

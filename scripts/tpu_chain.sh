@@ -19,7 +19,8 @@ while IFS= read -r line; do
   case "$line" in ''|'#'*) continue;; esac
   echo "=== $(date +%T) START: $line"
   timeout 5400 bash -c "$line"
-  echo "=== $(date +%T) DONE rc=$? : $line"
+  rc=$?   # capture BEFORE the next command substitution clobbers $?
+  echo "=== $(date +%T) DONE rc=$rc : $line"
   sleep "${COOLDOWN:-90}"
 done < "$CHAIN"
 echo "=== $(date +%T) CHAIN COMPLETE: $CHAIN"

@@ -93,12 +93,29 @@ def test_box_iou_closed_form_matches_polygon_math():
 
 
 def test_social_region_codes():
-    # front-right far
-    assert int(geom.social_region(jnp.array(-0.5), jnp.array(0.4))) == 1
-    # front-left close
-    assert int(geom.social_region(jnp.array(0.5), jnp.array(0.2))) == 4
-    # behind -> OTHER
-    assert int(geom.social_region(jnp.array(3.0), jnp.array(0.2))) == 0
+    # exact rectangle geometry (utils.get_obstacle_region:146-215): robot at
+    # the origin facing -x (yaw=pi => converted heading 0), so the front
+    # region spans x in (-0.6, 0) with the right half-band y in (0, 0.16)
+    # and the left half-band y in (-0.16, 0)
+    robot = jnp.zeros(2)
+    yaw = jnp.array(math.pi)
+
+    def region(pt, scan):
+        return int(geom.social_region(robot, yaw, jnp.array(pt),
+                                      jnp.array(scan)))
+
+    assert region([-0.4, 0.08], 0.4) == 1    # front-right far
+    assert region([-0.4, -0.08], 0.4) == 2   # front-left far
+    assert region([-0.2, 0.08], 0.2) == 3    # front-right close
+    assert region([-0.2, -0.08], 0.2) == 4   # front-left close
+    assert region([0.3, 0.08], 0.3) == 0     # behind -> OTHER
+    assert region([-0.4, 0.3], 0.4) == 0     # outside the 0.16 band
+    assert region([-0.4, 0.08], 0.65) == 0   # beyond far proximity
+    # batched points broadcast
+    codes = geom.social_region(
+        robot, yaw, jnp.array([[-0.4, 0.08], [-0.2, -0.08]]),
+        jnp.array([0.4, 0.2]))
+    assert codes.tolist() == [1, 4]
 
 
 def test_estimate_num_obs_scans():

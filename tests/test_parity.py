@@ -235,3 +235,60 @@ def test_parity_strict_quirks_trajectory():
     # (reward spike: +200 bonus on top of the -2/+1 shaping terms)
     rewards = [r[2] for r in traj[1:]]
     assert max(rewards) > 150, rewards
+
+
+def test_parity_segment_regions_static_scene():
+    """Social-region codes (FRF/FLF/FRC/FLC, the exact rectangle geometry of
+    `utils.get_obstacle_region:146-215`) agree JAX <-> oracle per confirmed
+    segment along a static-scene trajectory. The oracle classifies with
+    matplotlib's crossing-number point-in-polygon over the reference's
+    literal degree-based polygon construction; the JAX side uses the
+    closed-form parallelogram cross products (`geom.social_region`) wired
+    through `RiskOutput.segment_regions`."""
+    from crowdnav_tpu.envs import crowd_env as ce
+    from crowdnav_tpu.ops import risk
+
+    cfg = make_config("crowd_none", "static", n_peds=3,
+                      ped_init=((0.3, -0.75), (0.0, -0.3), (-0.5, 0.2)),
+                      max_steps=80)
+    jenv = CrowdEnv(cfg)
+    nenv = NumpyCrowdEnv(cfg)
+    jstate, _ = jenv.reset(jax.random.PRNGKey(0))
+    nenv.reset()
+    step = jax.jit(jenv.step)
+    actions = [(0.15, 0.3)] * 12 + [(0.22, -0.5)] * 8
+    compared, nonzero = 0, 0
+    for a in actions:
+        prev_tracks = jstate.tracks
+        out = step(jstate, jnp.asarray(a, jnp.float32))
+        jstate = out.state
+        _, _, ndone = nenv.step(a, ped_vel=np.zeros_like(nenv.ped))
+        if bool(out.done) or ndone:
+            break
+        # recompute this transition's perception from the post-step pose +
+        # pre-step tracks (exactly what step() consumed internally)
+        st = jstate.replace(tracks=prev_tracks)
+        scans, points = ce._sense(cfg, st)
+        pout = risk.perceive(cfg, scans, points, prev_tracks, st.pos,
+                             st.prev_pos, yaw=st.yaw)
+        mask = np.asarray(pout.segments.valid & pout.segments.confirmed)
+        jrows = [
+            (float(x), float(y), bool(o), int(r))
+            for (x, y), o, r, m in zip(
+                np.asarray(pout.segments.center_pos),
+                np.asarray(pout.segments.is_obstacle),
+                np.asarray(pout.segment_regions), mask) if m]
+        nrows = [(float(p[0]), float(p[1]), bool(o), int(r))
+                 for o, p, r in nenv.last_regions]
+        assert len(jrows) == len(nrows), (jrows, nrows)
+        # match rows by nearest segment center (scan f32<->f64 tolerance,
+        # same as _check's 2.5e-3), then flags + region must agree exactly
+        for jx, jy, jo_, jr in jrows:
+            d = [abs(jx - nx) + abs(jy - ny) for nx, ny, _, _ in nrows]
+            i = int(np.argmin(d))
+            assert d[i] < 0.02, (jrows, nrows)
+            assert (jo_, jr) == (nrows[i][2], nrows[i][3]), (jrows, nrows)
+        compared += len(jrows)
+        nonzero += sum(1 for r in jrows if r[3] != 0)
+    assert compared > 10          # the scene kept segments in view
+    assert nonzero > 0            # and some fell inside the front regions
