@@ -223,6 +223,14 @@ class EnvConfig:
     # batched step path (CrowdEnv.step_batch). Numerics identical.
     lidar_backend: str = "xla"
 
+    # --- social-region debug output ---
+    # The reference computes FRF/FLF/FRC/FLC region codes per scan point
+    # every step (:296-305) and then barely uses them (debug / social-nav
+    # bookkeeping). The TPU engine keeps that work OFF the training hot
+    # path by default: regions land in RiskOutput.segment_regions only
+    # when this flag is set (viz, parity tests, deployment debugging).
+    compute_regions: bool = False
+
     # --- risk compute backend ---
     # "xla": the fixed-shape ops in ops/risk.py under vmap;
     # "pallas": the fused tracker+CP+topK VMEM kernel

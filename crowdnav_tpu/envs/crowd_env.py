@@ -185,7 +185,7 @@ def _observe(cfg: EnvConfig, state: EnvState, compute_cp, scans=None):
     waypoint, dtg, htg = _goal_features(cfg, state)
     out = risk.perceive(cfg, scans, points, state.tracks, state.pos,
                         state.prev_pos, compute_cp=compute_cp,
-                        yaw=state.yaw)
+                        yaw=state.yaw if cfg.compute_regions else None)
     return _finish_observe(cfg, state, scans, out, waypoint, dtg, htg,
                            compute_cp)
 
@@ -222,7 +222,7 @@ def _observe_batch(cfg: EnvConfig, states: EnvState, compute_cp,
             lambda st, sg: jnp.where(
                 sg.valid, geom.social_region(st.pos, st.yaw, sg.center_pos,
                                              sg.center_dist), 0)
-        )(states, segs))
+        )(states, segs) if cfg.compute_regions else None)
     return jax.vmap(
         lambda st, sc, o, wp, d, h, cc: _finish_observe(
             cfg, st, sc, o, wp, d, h, cc)
