@@ -137,19 +137,33 @@ def box_iou(a_xy, b_xy, half_size):
     return jnp.round(inter / union, 3)
 
 
-def boxes_associated(a_xy, b_xy, half_size):
-    """The reference's Hungarian-association predicate
-    `utils.is_associated:435-448`: ``round(IOU, 3) > 0`` — the IOU is
-    rounded to 3 decimals BEFORE the check, so sliver overlaps with
-    IOU <= 5e-4 do NOT associate (caught by the direct parity test
-    against the reference source). Closed form without the division:
+def boxes_associated(a_xy, b_xy, half_size, rounded: bool = False):
+    """Box-association predicate (`utils.is_associated:435-448`).
+
+    ``rounded=False`` (default): the intended geometric semantics — the
+    two squares overlap (IOU > 0). ``rounded=True``: the reference's
+    LITERAL behavior — ``round(IOU, 3) > 0``, i.e. sliver overlaps with
+    IOU <= 5e-4 do NOT associate (its code rounds before the check;
+    established by the direct parity test against the reference source).
+    Closed form without the division:
     ``inter/union > 5e-4  <=>  inter * 1.0005 > 1e-3 * side^2`` with
-    ``union = 2*side^2 - inter``."""
+    ``union = 2*side^2 - inter``.
+
+    Why the literal form is a strict_quirks behavior and not the default:
+    the two differ on only ~0.1% of consecutive-beam pairs in real scenes
+    (sliver wall-graze splits), but that perturbation measurably shifts
+    the TD3 flagship-recipe training bifurcation — A/B'd on hardware in
+    round 5 (`results/r5/README.md`, bisect chain S): with the rounded
+    form 5 of 7 flagship-recipe runs locked into the 0%-success attractor
+    vs ~1 of 13 with the raw form, and reverting ONLY this predicate
+    recovered the same collapsed seed to 98.1%."""
     side = 2.0 * half_size
     dx = jnp.abs(a_xy[..., 0] - b_xy[..., 0])
     dy = jnp.abs(a_xy[..., 1] - b_xy[..., 1])
-    inter = jnp.maximum(side - dx, 0.0) * jnp.maximum(side - dy, 0.0)
-    return inter * 1.0005 > 1e-3 * side * side
+    if rounded:
+        inter = jnp.maximum(side - dx, 0.0) * jnp.maximum(side - dy, 0.0)
+        return inter * 1.0005 > 1e-3 * side * side
+    return (dx < side) & (dy < side)
 
 
 def _in_parallelogram(px, py, quad):

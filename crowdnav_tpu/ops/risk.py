@@ -140,13 +140,18 @@ def segment_scans(cfg: EnvConfig, scans, points):
 
     # -- 3. run segmentation --
     bbox = ground_truth_bbox_size(cfg)
-    # component-wise geom.boxes_associated(points, nxt(points), bbox):
-    # round(IOU, 3) > 0, i.e. inter * 1.0005 > 1e-3 * side^2 (the
-    # reference rounds before the check — see boxes_associated docstring)
+    # component-wise geom.boxes_associated(points, nxt(points), bbox).
+    # Default = raw overlap (intended semantics); strict_quirks = the
+    # reference's literal rounded-IOU form. The round-5 hardware A/B that
+    # sent the rounded form to strict-quirks land is documented in the
+    # boxes_associated docstring.
     side = 2.0 * bbox
-    inter = (jnp.maximum(side - jnp.abs(dx), 0.0)
-             * jnp.maximum(side - jnp.abs(dy), 0.0))
-    assoc_next = inter * 1.0005 > 1e-3 * side * side
+    if cfg.strict_quirks:
+        inter = (jnp.maximum(side - jnp.abs(dx), 0.0)
+                 * jnp.maximum(side - jnp.abs(dy), 0.0))
+        assoc_next = inter * 1.0005 > 1e-3 * side * side
+    else:
+        assoc_next = (jnp.abs(dx) < side) & (jnp.abs(dy) < side)
     boundary_prev = ~prv(occupied) | ~prv(assoc_next)
     start = occupied & boundary_prev
     # beam 0 always opens a run (runs are scanned linearly; ring closure is
@@ -191,7 +196,8 @@ def segment_scans(cfg: EnvConfig, scans, points):
     do_merge = (seg_valid[0] & (n_runs > 1) & (last_id < S)
                 & occupied[0] & occupied[n - 1]
                 & (run_id[n - 1] == last_id)
-                & geom.boxes_associated(first_pt, last_pt, bbox * 2.0))
+                & geom.boxes_associated(first_pt, last_pt, bbox * 2.0,
+                                        rounded=cfg.strict_quirks))
     sl = jnp.arange(S)
     merged_into_0 = do_merge & (sl == last_id)
     count0_pre_merge = seg_count[0]

@@ -140,6 +140,13 @@ class NumpyCrowdEnv:
             pts.append((round(px, 3), round(py, 3)))
         return pts
 
+    def _associated(self, p, q, side):
+        dx, dy = abs(p[0] - q[0]), abs(p[1] - q[1])
+        if self.cfg.strict_quirks:
+            inter = max(side - dx, 0.0) * max(side - dy, 0.0)
+            return round(inter / (2 * side * side - inter), 3) > 0.0
+        return dx < side and dy < side
+
     def _segment(self, scans, pts):
         """Group occupied beams into segments by box association, classify
         each point wall/obstacle from the change-of-gradient, then confirm
@@ -185,11 +192,11 @@ class NumpyCrowdEnv:
             if cur:
                 p, q = pts[cur[-1]], pts[i]
                 side = 2 * self.bbox
-                # reference-style association: round(IOU, 3) > 0
-                # (utils.is_associated:435-448 rounds before the check)
-                inter = (max(side - abs(p[0] - q[0]), 0.0)
-                         * max(side - abs(p[1] - q[1]), 0.0))
-                if round(inter / (2 * side * side - inter), 3) > 0.0:
+                # association: intended raw overlap by default; the
+                # reference's literal rounded-IOU form under strict_quirks
+                # (utils.is_associated:435-448 rounds before the check;
+                # round-5 A/B in geom.boxes_associated docstring)
+                if self._associated(p, q, side):
                     cur.append(i)
                 else:
                     segs.append(cur)
@@ -202,9 +209,7 @@ class NumpyCrowdEnv:
                 and segs[0][0] == 0 and segs[-1][-1] == n - 1:
             p, q = pts[0], pts[n - 1]
             side = 4 * self.bbox     # doubled box across the blind spot
-            inter = (max(side - abs(p[0] - q[0]), 0.0)
-                     * max(side - abs(p[1] - q[1]), 0.0))
-            if round(inter / (2 * side * side - inter), 3) > 0.0:
+            if self._associated(p, q, side):
                 segs[0] = segs[0] + segs.pop()
 
         # confirmation
