@@ -136,6 +136,29 @@ def run_metadata(args, trainer) -> dict:
     }
 
 
+def collapse_verdict(summary: dict, chunk: int, args):
+    """Early-collapse gate for --restart-on-collapse.
+
+    The flagship large-batch TD3 recipe bifurcates: runs either escape to
+    ~98% success or fall into a 0%-success attractor (mean episode reward
+    ~-450, diverging actor loss) that never recovers; the attractor's
+    reward signature is separable from healthy runs by chunk ~10
+    (results/r5/README.md §1.2).
+
+    Returns None while the verdict must be deferred (before the detection
+    chunk, or no episodes completed in this chunk's stats window yet),
+    else True (collapsed) / False (healthy). The caller renders the
+    verdict once per attempt, at the first non-deferred chunk. Evaluated
+    on every process (drain_stats already runs everywhere), so the
+    verdict is consistent under --multihost.
+    """
+    if chunk + 1 < args.collapse_detect_chunk:
+        return None
+    if summary["episodes"] == 0:  # stats window empty — defer
+        return None
+    return summary["mean_reward"] < args.collapse_reward_threshold
+
+
 def build(args):
     noise_kw = {k: v for k, v in (
         ("actuation_noise", getattr(args, "actuation_noise", 0.0)),
@@ -268,6 +291,26 @@ def main(argv=None):
                         "of a run that later collapses (e.g. DDPG, "
                         "BASELINE.md) remains evaluable via "
                         "drivers.evaluate --checkpoint ... --checkpoint-step")
+    p.add_argument("--restart-on-collapse", type=int, default=0,
+                   metavar="N",
+                   help="re-initialize and retry (up to N times, fresh "
+                        "seed each attempt) when the early-training collapse "
+                        "attractor is detected. The large-batch TD3 recipe "
+                        "bifurcates: runs either escape to ~98%% success or "
+                        "lock into a 0%%-success attractor whose signature "
+                        "(deeply negative mean episode reward) is visible by "
+                        "chunk ~10 — restarting then costs ~1 min of chip "
+                        "time vs a wasted full run (results/r5/README.md "
+                        "§1.2). Detection at --collapse-detect-chunk via "
+                        "--collapse-reward-threshold.")
+    p.add_argument("--collapse-detect-chunk", type=int, default=10,
+                   help="chunk index (1-based) at which the collapse check "
+                        "runs (default 10 ≈ 10.5M env-steps at the flagship "
+                        "recipe)")
+    p.add_argument("--collapse-reward-threshold", type=float, default=-300.0,
+                   help="mean episode reward below which the run is declared "
+                        "collapsed (the attractor sits near -450; healthy "
+                        "runs are > -150 by the detection chunk)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --outdir "
                         "(the reference's continue_execution/resume_epoch, "
@@ -336,7 +379,11 @@ def main(argv=None):
     throughput = StepThroughput(steps_per_chunk)
     episode_base = 0
     t_start = time.time()
-    for chunk in range(n_chunks):
+    attempt = 0
+    verdict_done = False
+    wasted_steps = 0  # env-steps burned by collapse-restarted attempts
+    chunk = 0
+    while chunk < n_chunks:
         t0 = time.time()
         # trace one warm chunk (the 3rd: past compile + cache warmup)
         with trace_if(args.profile_dir, chunk == 2):
@@ -355,6 +402,33 @@ def main(argv=None):
                 **{k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in summary.items()},
             }), flush=True)
+        if (args.restart_on_collapse and attempt < args.restart_on_collapse
+                and not verdict_done):
+            verdict = collapse_verdict(summary, chunk, args)
+            if verdict is not None:
+                verdict_done = True
+                if verdict:
+                    attempt += 1
+                    if is_main:
+                        print(json.dumps({
+                            "event": "collapse_restart",
+                            "attempt": attempt,
+                            "mean_reward": round(summary["mean_reward"], 2),
+                            "threshold": args.collapse_reward_threshold,
+                            "new_seed": args.seed + 1009 * attempt,
+                        }), flush=True)
+                    # fresh init (new seed), restart the chunk loop; CSV
+                    # rows from the aborted attempt stay in the log with
+                    # the restart event marking the boundary
+                    state = trainer.init(
+                        jax.random.PRNGKey(args.seed + 1009 * attempt))
+                    # keep checkpoint step keys monotone across attempts:
+                    # count the aborted attempt's env-steps as consumed
+                    wasted_steps += (chunk + 1) * steps_per_chunk
+                    chunk = 0
+                    verdict_done = False  # re-arm for the new attempt
+                    continue
+        chunk += 1  # chunks completed; below, `chunk` == old loop's chunk+1
         if hasattr(trainer.agent, "decay_epsilon"):
             # reference decays epsilon once per episode
             # (start_dqn_training.py:125-127); here once per chunk
@@ -364,27 +438,36 @@ def main(argv=None):
             state = state.replace(
                 agent_state=trainer.agent.decay_sigma(
                     state.agent_state,
-                    steps_done + (chunk + 1) * steps_per_chunk))
-        if args.ckpt_every_chunks and (chunk + 1) % args.ckpt_every_chunks == 0:
+                    steps_done + chunk * steps_per_chunk))
+        # checkpoint step keys include wasted_steps so they stay monotone
+        # across collapse restarts (Orbax refuses a step key below the
+        # latest committed one); sigma decay above deliberately does NOT —
+        # each attempt anneals from scratch
+        if args.ckpt_every_chunks and chunk % args.ckpt_every_chunks == 0:
             save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state,
-                            steps_done + (chunk + 1) * steps_per_chunk)
+                            steps_done + wasted_steps
+                            + chunk * steps_per_chunk)
         if args.snapshot_every_chunks and \
-                (chunk + 1) % args.snapshot_every_chunks == 0:
+                chunk % args.snapshot_every_chunks == 0:
             save_checkpoint(f"{args.outdir}/agent_snapshots_{args.algo}",
                             {"agent_state": state.agent_state},
-                            steps_done + (chunk + 1) * steps_per_chunk)
+                            steps_done + wasted_steps
+                            + chunk * steps_per_chunk)
     # final checkpoint: full trainer state (multi-GB, gitignored) for exact
     # resume + a small agent-only checkpoint (params/targets/opt state — a
     # few MB) that IS committed and is all `drivers.evaluate --checkpoint`
     # needs (restore_agent_state reads just the agent_state subtree).
-    final_step = steps_done + n_chunks * steps_per_chunk
+    final_step = steps_done + wasted_steps + n_chunks * steps_per_chunk
     save_checkpoint(f"{args.outdir}/ckpt_{args.algo}", state, final_step)
     # called from ALL processes: orbax save/wait_until_finished are
     # collective under jax.process_count() > 1 — an is_main guard here
     # would hang process 0 at the barrier at the very end of a run
     save_checkpoint(f"{args.outdir}/agent_ckpt_{args.algo}",
                     {"agent_state": state.agent_state}, final_step)
-    print(f"done: {n_chunks * steps_per_chunk:.0f} env-steps in "
+    print(f"done: {wasted_steps + n_chunks * steps_per_chunk:.0f} env-steps "
+          f"({attempt} collapse restarts) in {time.time() - t_start:.1f}s"
+          if attempt else
+          f"done: {n_chunks * steps_per_chunk:.0f} env-steps in "
           f"{time.time() - t_start:.1f}s")
     return state
 

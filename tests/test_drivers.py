@@ -34,6 +34,50 @@ def test_train_driver_checkpoints_and_resumes(tmp_path):
     assert state is not None
 
 
+def test_restart_on_collapse_verdict_gate():
+    """collapse_verdict defers (None) before the detection chunk or while
+    no episodes have completed, then renders True/False on the reward
+    threshold (results/r5/README.md §1.2: the 0%-attractor sits near mean
+    reward -450 and is separable by chunk ~10)."""
+    import argparse
+
+    args = argparse.Namespace(collapse_detect_chunk=10,
+                              collapse_reward_threshold=-300.0)
+    collapsed = {"episodes": 500, "mean_reward": -447.0}
+    healthy = {"episodes": 500, "mean_reward": -88.0}
+    assert train.collapse_verdict(collapsed, 9, args) is True
+    assert train.collapse_verdict(healthy, 9, args) is False
+    # before the detection chunk: defer
+    assert train.collapse_verdict(collapsed, 8, args) is None
+    # empty stats window at/after the detection chunk: defer to the next
+    # chunk that actually completed episodes
+    assert train.collapse_verdict(
+        {"episodes": 0, "mean_reward": 0.0}, 9, args) is None
+    assert train.collapse_verdict(collapsed, 15, args) is True
+
+
+def test_restart_on_collapse_end_to_end(tmp_path, capsys):
+    """With an always-triggering threshold the driver restarts (fresh seed)
+    exactly `--restart-on-collapse` times, then completes the run."""
+    import json as _json
+
+    outdir = str(tmp_path)
+    # detect chunk 1 defers until the first chunk with completed episodes
+    # (chunk 4 here: 16-step timeouts, 4-step chunks); threshold high
+    # enough that any finite reward counts as "collapsed"
+    train.main(_args(outdir, ["--env-steps", "256",
+                              "--restart-on-collapse", "1",
+                              "--collapse-detect-chunk", "1",
+                              "--collapse-reward-threshold", "1e9"]))
+    events = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+              if l.startswith("{") and "collapse_restart" in l]
+    assert len(events) == 1
+    assert events[0]["attempt"] == 1
+    assert events[0]["new_seed"] == 1009
+    ckpts = glob.glob(f"{outdir}/ckpt_dqn/*")
+    assert ckpts, "run did not complete after restart"
+
+
 def test_checkpoint_metadata_round_trip(tmp_path):
     """A checkpoint trained with NON-DEFAULT agent hyperparameters must
     evaluate correctly with no extra CLI flags: run_config.json (the
