@@ -141,9 +141,12 @@ def collapse_verdict(summary: dict, chunk: int, args):
 
     The flagship large-batch TD3 recipe bifurcates: runs either escape to
     ~98% success or fall into a 0%-success attractor (mean episode reward
-    ~-450, diverging actor loss) that never recovers; the attractor's
-    reward signature is separable from healthy runs by chunk ~10
-    (results/r5/README.md §1.2).
+    ~-300..-460, diverging actor loss) that never recovers
+    (results/r5/README.md §1.2). Calibration on the round-5 corpus of
+    flagship-recipe training CSVs: escapes happen as late as chunk ~18
+    (abl_no_cp: -352 at chunk 10, +457 at chunk 18, 98% final), so the
+    default detection chunk is 24, where the corpus separates cleanly
+    (collapsed <= -290 everywhere, escaped >= +450).
 
     Returns None while the verdict must be deferred (before the detection
     chunk, or no episodes completed in this chunk's stats window yet),
@@ -297,20 +300,22 @@ def main(argv=None):
                         "seed each attempt) when the early-training collapse "
                         "attractor is detected. The large-batch TD3 recipe "
                         "bifurcates: runs either escape to ~98%% success or "
-                        "lock into a 0%%-success attractor whose signature "
-                        "(deeply negative mean episode reward) is visible by "
-                        "chunk ~10 — restarting then costs ~1 min of chip "
-                        "time vs a wasted full run (results/r5/README.md "
-                        "§1.2). Detection at --collapse-detect-chunk via "
+                        "lock into a 0%%-success attractor (results/r5/"
+                        "README.md §1.2) — restarting costs a fraction of a "
+                        "run vs a wasted full one. Detection at "
+                        "--collapse-detect-chunk via "
                         "--collapse-reward-threshold.")
-    p.add_argument("--collapse-detect-chunk", type=int, default=10,
+    p.add_argument("--collapse-detect-chunk", type=int, default=24,
                    help="chunk index (1-based) at which the collapse check "
-                        "runs (default 10 ≈ 10.5M env-steps at the flagship "
-                        "recipe)")
-    p.add_argument("--collapse-reward-threshold", type=float, default=-300.0,
+                        "runs. Default 24, calibrated on the round-5 "
+                        "flagship-recipe corpus: every escaped run (incl. "
+                        "the latest escape seen, abl_no_cp at chunk ~18) is "
+                        "above +450 mean reward by chunk 20, every collapsed "
+                        "run stays below -290 for the whole run")
+    p.add_argument("--collapse-reward-threshold", type=float, default=-100.0,
                    help="mean episode reward below which the run is declared "
-                        "collapsed (the attractor sits near -450; healthy "
-                        "runs are > -150 by the detection chunk)")
+                        "collapsed (corpus margin at the default detection "
+                        "chunk: collapsed ≤ -290, escaped ≥ +450)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --outdir "
                         "(the reference's continue_execution/resume_epoch, "
