@@ -56,6 +56,7 @@ SUITES = {
 def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
                       n_envs: int, max_steps: int, seed: int,
                       jitter: float = 0.0, ablation: str | None = None,
+                      robot: str | None = None,
                       agent_cfg: dict | None = None):
     """One scenario, N envs. With ``jitter`` > 0 every env (and every
     auto-reset, via the reset bank) starts from a distinct randomized spawn
@@ -72,7 +73,7 @@ def evaluate_scenario(algo: str, agent_state, world: str, behavior: str,
     as episode 1 up to bank discretization (``reset_bank = n_envs``
     distinct spawns)."""
     cfg = make_config(world, behavior, max_steps=max_steps, jitter=jitter,
-                      ablation=ablation)
+                      ablation=ablation, robot=robot)
     env_cls = CrowdEnv if algo in RISK_ENV_ALGOS else SimpleEnv
     env = env_cls(cfg)
     if agent_cfg is not None:
@@ -142,6 +143,10 @@ def main(argv=None):
     p.add_argument("--ablation", default=None,
                    help="ablation arm of the checkpoint being evaluated "
                         "(state dims must match training)")
+    p.add_argument("--robot", default=None,
+                   help="robot kinematic variant of the checkpoint being "
+                        "evaluated (envs.config.ROBOT_PRESETS; default "
+                        "from checkpoint metadata, else burger)")
     p.add_argument("--n-envs", type=int, default=256)
     p.add_argument("--max-steps", type=int, default=500)
     p.add_argument("--outdir", default="results")
@@ -183,12 +188,19 @@ def main(argv=None):
                 raise SystemExit(
                     f"--ablation {args.ablation} conflicts with checkpoint "
                     f"metadata (trained with ablation={ckpt_abl!r})")
+            ckpt_robot = meta.get("robot")
+            if args.robot is None:
+                args.robot = ckpt_robot
+            elif ckpt_robot is not None and args.robot != ckpt_robot:
+                raise SystemExit(
+                    f"--robot {args.robot} conflicts with checkpoint "
+                    f"metadata (trained with robot={ckpt_robot!r})")
             agent_cfg = meta["agent_config"]
         # restore ONLY the agent-state subtree against a shape template
         # (the training run's env batch / replay sizes need not match)
         world, behavior = SUITES[args.suite][0]
         cfg = make_config(world, behavior, max_steps=args.max_steps,
-                          ablation=args.ablation)
+                          ablation=args.ablation, robot=args.robot)
         env_cls = CrowdEnv if args.algo in RISK_ENV_ALGOS else SimpleEnv
         env = env_cls(cfg)
         if meta is not None and meta.get("obs_dim") not in (
@@ -213,7 +225,7 @@ def main(argv=None):
         summary, agent_state = evaluate_scenario(
             args.algo, agent_state, world, behavior, args.n_envs,
             args.max_steps, args.seed + i, jitter=args.jitter,
-            ablation=args.ablation, agent_cfg=agent_cfg)
+            ablation=args.ablation, robot=args.robot, agent_cfg=agent_cfg)
         logger.record_summary(summary, 0, summary["timelapse"])
         print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in summary.items()}), flush=True)

@@ -33,7 +33,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 from crowdnav_tpu.agents import (DDPG, DDPGConfig, DQN, DQNConfig, SAC,
                                  SACConfig, TD3, TD3Config)
 from crowdnav_tpu.envs import CrowdEnv, SimpleEnv, make_config
-from crowdnav_tpu.envs.config import ABLATION_PRESETS
+from crowdnav_tpu.envs.config import ABLATION_PRESETS, ROBOT_PRESETS
 from crowdnav_tpu.parallel import (ShardedTrainer, Trainer, TrainerConfig,
                                    make_mesh)
 from crowdnav_tpu.utils import (EpisodeLogger, StepThroughput,
@@ -124,6 +124,7 @@ def run_metadata(args, trainer) -> dict:
         "world": args.world,
         "behavior": args.behavior,
         "ablation": getattr(args, "ablation", None),
+        "robot": getattr(args, "robot", None),
         "jitter": getattr(args, "jitter", 0.0),
         "actuation_noise": getattr(args, "actuation_noise", 0.0),
         "dt_jitter": getattr(args, "dt_jitter", 0.0),
@@ -172,6 +173,7 @@ def build(args):
     cfg = make_config(args.world, args.behavior,
                       ablation=getattr(args, "ablation", None),
                       jitter=getattr(args, "jitter", 0.0),
+                      robot=getattr(args, "robot", None),
                       max_steps=args.max_steps, **noise_kw)
     env_cls = CrowdEnv if args.algo in RISK_ENV_ALGOS else SimpleEnv
     env = env_cls(cfg)
@@ -209,6 +211,10 @@ def main(argv=None):
     p.add_argument("--ablation", default=None,
                    choices=list(ABLATION_PRESETS),
                    help="ablation arm (SURVEY.md §4)")
+    p.add_argument("--robot", default=None,
+                   choices=list(ROBOT_PRESETS),
+                   help="robot kinematic variant (default: the reference's "
+                        "modified burger; see envs.config.ROBOT_PRESETS)")
     p.add_argument("--n-envs", type=int, default=1024)
     p.add_argument("--n-devices", type=int, default=1)
     p.add_argument("--env-steps", type=float, default=2e6)

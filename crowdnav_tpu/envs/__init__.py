@@ -3,6 +3,7 @@
 from crowdnav_tpu.envs.config import (  # noqa: F401
     CrowdBehavior,
     EnvConfig,
+    ROBOT_PRESETS,
     WORLD_PRESETS,
     make_config,
 )

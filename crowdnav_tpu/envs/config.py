@@ -332,6 +332,50 @@ WORLD_PRESETS = {
     # start_td3_real_world_test.py:60)
     "realworld": dict(n_peds=1, ped_init=((0.3, 0.3),), k_obstacles=1,
                       use_waypoints=False),
+    # The classic `turtlebot3_world` obstacle course: nine static pillars
+    # (radius 0.15) on the 3x3 grid at {-1.1, 0, 1.1}^2
+    # (turtlebot3_gazebo/models/turtlebot3_world/model.sdf, collisions
+    # one_one..three_three), modeled as zero-speed "pedestrians". The
+    # outer boundary is a SQUARE stand-in sized to the hexagon's ~4.4 m
+    # span — the engine's raycast is a closed-form axis-aligned box
+    # (ops/lidar.py:_box_inside), deliberately not generalized to polygon
+    # walls (hot-path op); beams that reach the boundary differ from the
+    # Gazebo hexagon, pillar returns match.
+    "turtlebot3_world_pillars": dict(
+        n_peds=9,
+        ped_init=tuple((x, y) for x in (-1.1, 0.0, 1.1)
+                       for y in (-1.1, 0.0, 1.1)),
+        behavior=CrowdBehavior.STATIC, ped_radius=0.15,
+        room_size=4.4, start_pose=(1.8, -1.8, math.pi), goal=(-1.8, 1.8)),
+}
+
+# Robot kinematic variants from `turtlebot3_description/urdf/*.xacro`.
+# The reference trains and evaluates exclusively on its MODIFIED burger
+# (lidar clipped to 0.6 m, min 0.08 — turtlebot3_burger.gazebo.xacro:
+# 157-165); the other URDFs in its tree are carried here as kinematic
+# presets so a user of the reference finds every robot variant:
+#
+# - waffle: wheelSeparation 0.287, wheelDiameter 0.066
+#   (turtlebot3_waffle.gazebo.xacro:24-25); base collision box
+#   0.265x0.265 (turtlebot3_waffle.urdf.xacro:31-35) -> circumscribed
+#   radius 0.187; overall width incl. wheels = separation + tire width
+#   0.018 = 0.305 (wheel collision cylinders, urdf.xacro:61-65);
+#   UNMODIFIED LDS-01 lidar: min 0.120, max 3.5
+#   (turtlebot3_waffle.gazebo.xacro:130-131). The reference defines no
+#   waffle-specific velocity caps, so the burger caps carry over —
+#   override max_lin_vel/max_ang_vel explicitly if needed.
+# - burger2: burger + a D435 camera bolted on
+#   (turtlebot3_burger2.urdf.xacro:49-52) — kinematically identical.
+# - waffle_naked: waffle with the stripped mesh/sensor set
+#   (turtlebot3_waffle_naked.urdf.xacro) — kinematically identical.
+_WAFFLE = dict(wheel_separation=0.287, robot_radius=0.187,
+               collision_body_width=0.305,
+               lidar_min_range=0.120, max_scan_range=3.5)
+ROBOT_PRESETS = {
+    "burger": {},          # EnvConfig defaults (the reference's sim robot)
+    "burger2": {},
+    "waffle": _WAFFLE,
+    "waffle_naked": _WAFFLE,
 }
 
 # Ablation arms, named after the result directories
@@ -379,6 +423,7 @@ BEHAVIOR_PRESETS = {
 
 def make_config(world: str = "crowd_dense", behavior: str | None = None,
                 ablation: str | None = None, jitter: float = 0.0,
+                robot: str | None = None,
                 **overrides) -> EnvConfig:
     """Build an ``EnvConfig`` from a world preset + behavior preset
     (+ optional ablation arm).
@@ -396,6 +441,8 @@ def make_config(world: str = "crowd_dense", behavior: str | None = None,
         kw.update(redraw_window_steps=max(1, round(window / dt)))
     if ablation is not None:
         kw.update(ABLATION_PRESETS[ablation])
+    if robot is not None:
+        kw.update(ROBOT_PRESETS[robot])
     if jitter:
         # one knob scaling all reset-randomization magnitudes
         kw.update(start_pos_jitter=0.15 * jitter,

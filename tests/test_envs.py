@@ -140,3 +140,52 @@ def test_safety_scores_bounded(dense_env):
         state = out.state
     ego, social = env.safety_scores(state)
     assert float(ego) <= 1.0 and float(social) <= 1.0
+
+
+def test_robot_presets_waffle():
+    """ROBOT_PRESETS: waffle swaps kinematics + the UNMODIFIED LDS-01
+    lidar (min 0.120 / max 3.5, turtlebot3_waffle.gazebo.xacro:130-131)
+    for the reference's modified burger (0.08 / 0.6); the env builds,
+    steps finite, and free space reads 3.5 instead of 0.6."""
+    from crowdnav_tpu.envs import ROBOT_PRESETS
+
+    assert set(ROBOT_PRESETS) == {"burger", "burger2", "waffle",
+                                  "waffle_naked"}
+    cfg_b = make_config("crowd_none", robot="burger", max_steps=50)
+    cfg_w = make_config("crowd_none", robot="waffle", max_steps=50)
+    assert cfg_b == make_config("crowd_none", max_steps=50)  # burger=default
+    assert cfg_w.wheel_separation == 0.287
+    assert cfg_w.max_scan_range == 3.5
+    env = CrowdEnv(cfg_w)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(obs)).all()
+    # empty 3x3 room, every wall within 3.5 m: scans strictly between
+    # lidar_min and the free-space value, never the burger 0.6 clip
+    scans = np.asarray(obs[:359])
+    assert scans.max() <= 3.5 and scans.max() > 0.6
+    out = jax.jit(env.step)(state, jnp.array([0.22, 0.0], jnp.float32))
+    assert np.isfinite(np.asarray(out.obs)).all()
+
+
+def test_turtlebot3_world_pillars_preset():
+    """The classic turtlebot3_world 9-pillar course (static r=0.15
+    cylinders on the {-1.1,0,1.1}^2 grid) as zero-speed peds in a square
+    stand-in boundary: pillars never move, and a beam aimed at a pillar
+    returns its surface distance."""
+    cfg = make_config("turtlebot3_world_pillars", max_steps=50)
+    assert cfg.n_peds == 9 and cfg.ped_radius == 0.15
+    env = CrowdEnv(cfg)
+    state, obs = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(obs)).all()
+    step = jax.jit(env.step)
+    p0 = np.asarray(state.ped_pos)
+    for _ in range(5):
+        out = step(state, jnp.array([0.0, 0.0], jnp.float32))
+        state = out.state
+    np.testing.assert_allclose(np.asarray(state.ped_pos), p0, atol=1e-6)
+    # probe from (0.55, 0) facing the center pillar at (0,0): the forward
+    # beam hits its surface at 0.55 - 0.15 = 0.40 (walls are > 0.6 away)
+    cfg2 = make_config("turtlebot3_world_pillars", max_steps=50,
+                       start_pose=(0.55, 0.0, np.pi))
+    _, obs2 = jax.jit(CrowdEnv(cfg2).reset)(jax.random.PRNGKey(0))
+    assert abs(float(obs2[0]) - 0.40) < 0.02
