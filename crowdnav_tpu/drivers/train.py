@@ -418,6 +418,13 @@ def main(argv=None):
             verdict = collapse_verdict(summary, chunk, args)
             if verdict is not None:
                 verdict_done = True
+                if not verdict and is_main:
+                    print(json.dumps({
+                        "event": "collapse_check",
+                        "verdict": "healthy",
+                        "chunk": chunk,
+                        "mean_reward": round(summary["mean_reward"], 2),
+                    }), flush=True)
                 if verdict:
                     attempt += 1
                     if is_main:
